@@ -1,0 +1,2 @@
+from .fftutil import nextfastfft, nextpow2, nextprod
+from .special import besseli0, ellipk
