@@ -3,11 +3,15 @@ import os
 # Tests run on a virtual 8-device CPU mesh (multi-chip sharding is
 # validated without TPU hardware) and with x64 enabled for float64
 # parity against the reference fixtures. Must happen before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+# The image's sitecustomize registers the axon (TPU) backend and the env
+# pins JAX_PLATFORMS=axon; jax may already be imported by the time this
+# runs, so force the platform through the config API as well.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
