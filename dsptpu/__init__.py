@@ -12,3 +12,14 @@ Capability parity target: JuliaDSP/DSP.jl (see SURVEY.md). Architecture:
 
 from . import ops, utils
 from .ops import windows
+from .ops.dspbase import filt, conv, deconv, xcorr
+from .ops.periodograms import (arraysplit, periodogram, welch_pgram,
+                               spectrogram, stft, WelchConfig, Periodogram,
+                               Periodogram2, Spectrogram, power, freq,
+                               tfr_time, fftshift_tfr)
+from .utils.util import (hilbert, db2pow, db2amp, pow2db, amp2db, rms, rmsfft,
+                         meanfreq, finddelay, shiftsignal, alignsignals,
+                         shiftin)
+from .utils.fftutil import nextfastfft, nextpow2
+from .utils.unwrap import unwrap
+from .utils.diric import diric
