@@ -10,9 +10,16 @@ Capability parity target: JuliaDSP/DSP.jl (see SURVEY.md). Architecture:
     multi-chip streams.
 """
 
-from . import ops, utils
+from . import ops, utils, filters
 from .ops import windows
-from .ops.dspbase import filt, conv, deconv, xcorr
+from .ops.dspbase import conv, deconv, xcorr
+from .filters import (filt, sosfilt, DF2TFilter, filtfilt, fftfilt, tdfilt,
+                      ZeroPoleGain, PolynomialRatio, Biquad,
+                      SecondOrderSections, coefb, coefa,
+                      Butterworth, Chebyshev1, Chebyshev2, Elliptic,
+                      Lowpass, Highpass, Bandpass, Bandstop, ComplexBandpass,
+                      analogfilter, digitalfilter, bilinear, iirnotch,
+                      kaiserord, FIRWindow, resample_filter)
 from .ops.periodograms import (arraysplit, periodogram, welch_pgram,
                                spectrogram, stft, WelchConfig, Periodogram,
                                Periodogram2, Spectrogram, power, freq,

@@ -1,0 +1,9 @@
+from .coefficients import (FilterCoefficients, ZeroPoleGain, PolynomialRatio,
+                           Biquad, SecondOrderSections, coefb, coefa, convert,
+                           as_zpk, as_polynomial_ratio, as_biquad, as_sos)
+from .design import (Butterworth, Chebyshev1, Chebyshev2, Elliptic,
+                     Lowpass, Highpass, Bandpass, Bandstop, ComplexBandpass,
+                     analogfilter, digitalfilter, bilinear, transform_prototype,
+                     iirnotch, kaiserord, FIRWindow, resample_filter)
+from .filt import (filt, sosfilt, DF2TFilter, filtfilt, fftfilt, tdfilt,
+                   filt_stepstate, filt_stepstate_sos)

@@ -34,6 +34,11 @@ __all__ = ["filt", "conv", "deconv", "xcorr", "optimal_os_nfft"]
 # makes direct conv relatively cheaper, so the crossover is higher).
 _CONV_DIRECT_CUTOFF = 1 << 18
 
+# FIR tap count above which filt() switches from the direct MXU
+# convolution to batched overlap-save (reference SMALL_FILT_CUTOFF = 66,
+# dspbase.jl:3; higher here because the MXU amortizes direct conv well).
+_FIR_OS_CUTOFF = 256
+
 
 def _as_1d(c, name):
     c = jnp.asarray(c)
@@ -107,6 +112,14 @@ def filt(b, a, x=None, si=None):
             b = b / a_arr.reshape(-1)[0]
         if si is None:
             flat, restore = _flatten_channels(x)
+            nb, n = b.shape[0], flat.shape[0]
+            # long taps: overlap-save beats the direct MXU conv
+            # (crossover after reference Filters/filt.jl:544-550, raised
+            # for the MXU; see _FIR_OS_CUTOFF)
+            if (nb > _FIR_OS_CUTOFF and n > nb
+                    and jnp.issubdtype(jnp.result_type(b.dtype, flat.dtype),
+                                       jnp.inexact)):
+                return restore(_conv_os_1d(flat, b)[:n])
             return restore(_fir_causal(b, flat))
         a = jnp.ones((1,), b.dtype)
 
@@ -215,7 +228,7 @@ def _frame_gather(x, num_frames, hop, frame_len):
     return x[idx]
 
 
-def _conv_os_1d(u, v):
+def _conv_os_1d(u, v, nfft=None):
     """Batched overlap-save convolution along axis 0; u is the long
     input (n, *chans), v the 1-D filter. All segment FFTs run as one
     batched rFFT (TPU-first replacement for reference dspbase.jl:490-609)."""
@@ -223,7 +236,10 @@ def _conv_os_1d(u, v):
     nout = nu + nv - 1
     dtype = jnp.result_type(u.dtype, v.dtype)
     cplx = jnp.issubdtype(dtype, jnp.complexfloating)
-    nfft = optimal_os_nfft(nu, nv)
+    if nfft is None:
+        nfft = optimal_os_nfft(nu, nv)
+    elif nfft < nv:
+        raise ValueError("nfft must be at least the filter length")
     L = nfft - nv + 1
     K = -(-nout // L)  # ceil
 
