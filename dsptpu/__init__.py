@@ -19,7 +19,9 @@ from .filters import (filt, sosfilt, DF2TFilter, filtfilt, fftfilt, tdfilt,
                       Butterworth, Chebyshev1, Chebyshev2, Elliptic,
                       Lowpass, Highpass, Bandpass, Bandstop, ComplexBandpass,
                       analogfilter, digitalfilter, bilinear, iirnotch,
-                      kaiserord, FIRWindow, resample_filter)
+                      kaiserord, FIRWindow, resample_filter,
+                      FIRFilter, resample, outputlength, inputlength,
+                      freqresp, phaseresp, grpdelay, impresp, stepresp)
 from .ops.periodograms import (arraysplit, periodogram, welch_pgram,
                                spectrogram, stft, WelchConfig, Periodogram,
                                Periodogram2, Spectrogram, power, freq,

@@ -7,3 +7,6 @@ from .design import (Butterworth, Chebyshev1, Chebyshev2, Elliptic,
                      iirnotch, kaiserord, FIRWindow, resample_filter)
 from .filt import (filt, sosfilt, DF2TFilter, filtfilt, fftfilt, tdfilt,
                    filt_stepstate, filt_stepstate_sos)
+from .stream_filt import (FIRFilter, taps2pfb, resample, polyphase_filt,
+                          outputlength, inputlength)
+from .response import freqresp, phaseresp, grpdelay, impresp, stepresp

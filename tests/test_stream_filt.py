@@ -1,0 +1,184 @@
+"""Streaming polyphase FIR tests (reference test/filt_stream.jl and
+test/resample.jl: naive-model cross-checks, MATLAB golden fixtures,
+chunked-stream == one-shot consistency)."""
+
+from fractions import Fraction
+import math
+
+import numpy as np
+import pytest
+from scipy import signal as sp
+
+from dsptpu.filters.stream_filt import (FIRFilter, taps2pfb, resample,
+                                        polyphase_filt, outputlength,
+                                        inputlength)
+from helpers import read_reference_data
+
+rng = np.random.default_rng(1776)
+
+
+def naivefilt(h, x, ratio=Fraction(1)):
+    """Zero-stuff + filter + decimate (reference test/filt_stream.jl:4-17)."""
+    ratio = Fraction(ratio)
+    up, down = ratio.numerator, ratio.denominator
+    stuffed = np.zeros(len(x) * up, dtype=np.result_type(h, x))
+    stuffed[::up] = x
+    y = sp.lfilter(h, [1.0], stuffed)
+    return y[::down]
+
+
+def naivefilt_arb(h, x, rate, nphi=32):
+    """32x interpolation + linear interp model (reference
+    test/filt_stream.jl:21-46)."""
+    xi = naivefilt(h, x, Fraction(nphi))
+    ylen = math.ceil(len(xi) * rate)
+    y = []
+    xidx, alpha = 0, 0.0
+    delta, stride = math.modf(nphi / rate)
+    stride = int(stride)
+    while xidx < len(xi) - 1:
+        y.append(xi[xidx] + alpha * (xi[xidx + 1] - xi[xidx]))
+        alpha += delta
+        xidx += int(math.floor(alpha)) + stride
+        alpha = alpha % 1.0
+    return np.asarray(y)
+
+
+class TestTaps2PFB:
+    def test_reference_example(self):
+        # reference stream_filt.jl:289-293
+        pfb = taps2pfb(np.arange(1, 10), 4)
+        np.testing.assert_array_equal(
+            pfb, [[9, 0, 0, 0], [5, 6, 7, 8], [1, 2, 3, 4]])
+
+
+class TestGoldenResample:
+    """MATLAB [y,b]=resample(x,num,den) fixtures (reference
+    test/resample.jl:8-25)."""
+
+    @pytest.mark.parametrize("num,den", [(1, 2), (2, 1), (3, 2), (2, 3)])
+    def test_matlab_fixture(self, num, den):
+        x = read_reference_data("resample_x.txt").ravel()
+        h = read_reference_data(f"resample_taps_{num}_{den}.txt").ravel()
+        want = read_reference_data(f"resample_y_{num}_{den}.txt").ravel()
+        got = np.asarray(resample(x, Fraction(num, den), h))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-10)
+
+    @pytest.mark.parametrize("num,den", [(1, 2), (2, 1), (3, 2), (2, 3)])
+    def test_default_taps(self, num, den):
+        x = read_reference_data("resample_x.txt").ravel()
+        want = read_reference_data(f"resample_y_{num}_{den}.txt").ravel()
+        got = np.asarray(resample(x, Fraction(num, den)))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+class TestKernelsVsNaive:
+    @pytest.mark.parametrize("ratio", [Fraction(1), Fraction(4),
+                                       Fraction(1, 3), Fraction(3, 2),
+                                       Fraction(2, 3), Fraction(147, 160)])
+    def test_oneshot(self, ratio):
+        h = sp.firwin(36, 0.2)
+        x = rng.standard_normal(1000)
+        got = np.asarray(polyphase_filt(h, x, ratio))
+        want = naivefilt(h, x, ratio)
+        n = min(len(got), len(want))
+        assert abs(len(got) - len(want)) <= 1
+        np.testing.assert_allclose(got[:n], want[:n], atol=1e-10)
+
+    @pytest.mark.parametrize("ratio", [Fraction(1), Fraction(3),
+                                       Fraction(1, 4), Fraction(3, 2),
+                                       Fraction(147, 160)])
+    @pytest.mark.parametrize("chunks", [1, 7])
+    def test_chunked_equals_oneshot(self, ratio, chunks):
+        h = sp.firwin(32, 0.25)
+        x = rng.standard_normal(997)
+        whole = np.asarray(polyphase_filt(h, x, ratio))
+        sf = FIRFilter(h, ratio)
+        bounds = np.sort(rng.choice(np.arange(1, len(x)), chunks - 1,
+                                    replace=False)) if chunks > 1 else []
+        parts = [np.asarray(sf.filt(c)) for c in np.split(x, bounds)]
+        got = np.concatenate(parts)
+        np.testing.assert_allclose(got, whole, atol=1e-12)
+
+    def test_arbitrary_vs_naive(self):
+        h = sp.firwin(64, 1 / 32 * 0.9)
+        x = rng.standard_normal(300)
+        rate = 1.35
+        got = np.asarray(polyphase_filt(h, x, rate))
+        want = naivefilt_arb(h, x, rate)
+        n = min(len(got), len(want))
+        np.testing.assert_allclose(got[:n], want[:n], atol=5e-3)
+
+    def test_arbitrary_chunked(self):
+        h = sp.firwin(64, 0.02)
+        x = rng.standard_normal(500)
+        rate = math.pi
+        whole = np.asarray(polyphase_filt(h, x, rate))
+        sf = FIRFilter(h, rate)
+        parts = [np.asarray(sf.filt(c)) for c in np.split(x, [100, 137, 400])]
+        got = np.concatenate(parts)
+        n = min(len(got), len(whole))
+        np.testing.assert_allclose(got[:n], whole[:n], atol=1e-9)
+
+
+class TestLengthAlgebra:
+    @pytest.mark.parametrize("ratio", [Fraction(3, 2), Fraction(2, 3),
+                                       Fraction(5), Fraction(1, 4)])
+    def test_roundtrip(self, ratio):
+        for phi0 in range(1, ratio.numerator + 1):
+            for n in (1, 10, 147, 1000):
+                out = outputlength(n, ratio, phi0)
+                nin_dn = inputlength(out, ratio, phi0, roundup=False)
+                nin_up = inputlength(out, ratio, phi0, roundup=True)
+                assert outputlength(nin_up, ratio, phi0) >= out
+                assert outputlength(nin_dn, ratio, phi0) <= out
+
+    @pytest.mark.parametrize("rate", [Fraction(3, 2), Fraction(2, 3), 2.0,
+                                      Fraction(7), 0.7])
+    def test_filter_predicts_output(self, rate):
+        h = sp.firwin(24, 0.2)
+        sf = FIRFilter(h, rate)
+        x = rng.standard_normal(500)
+        pred = sf.output_length(len(x))
+        got = len(sf.filt(x))
+        assert abs(got - pred) <= (1 if isinstance(rate, float) else 0)
+
+
+class TestResampleAPI:
+    def test_irrational_rate_sine(self):
+        # reference test/resample.jl "irrational ratio"
+        ratio = math.pi
+        tx = np.linspace(0, 2, 1000)
+        x = np.sin(2 * np.pi * tx)
+        y = np.asarray(resample(x, ratio))
+        ylen = len(y)
+        assert ylen == math.ceil(1000 * ratio)
+        # delay-compensated output tracks the ideal sine on its grid
+        ty = np.arange(ylen) * (tx[1] - tx[0]) / ratio
+        want = np.sin(2 * np.pi * ty)
+        np.testing.assert_allclose(y[100:-100], want[100:-100], atol=5e-3)
+
+    def test_dims_matches_mapslices(self):
+        x = rng.standard_normal((73, 5))
+        for rate in (Fraction(3, 2), Fraction(1, 2), 1.2):
+            got = np.asarray(resample(x, rate, dims=0))
+            for c in range(5):
+                want = np.asarray(resample(x[:, c], rate))
+                np.testing.assert_allclose(got[:, c], want, atol=1e-12)
+
+    def test_dims_axis1(self):
+        x = rng.standard_normal((4, 100))
+        got = np.asarray(resample(x, Fraction(1, 2), dims=1))
+        want = np.stack([np.asarray(resample(x[i], Fraction(1, 2)))
+                         for i in range(4)])
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_delay_compensation(self):
+        # resampled output aligns with input (no filter group delay)
+        t = np.arange(2000)
+        x = np.sin(2 * np.pi * 0.01 * t)
+        y = np.asarray(resample(x, Fraction(3, 2)))
+        t2 = np.arange(len(y)) * 2 / 3
+        want = np.sin(2 * np.pi * 0.01 * t2)
+        np.testing.assert_allclose(y[100:-100], want[100:-100], atol=1e-3)
