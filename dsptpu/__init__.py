@@ -21,11 +21,18 @@ from .filters import (filt, sosfilt, DF2TFilter, filtfilt, fftfilt, tdfilt,
                       analogfilter, digitalfilter, bilinear, iirnotch,
                       kaiserord, FIRWindow, resample_filter,
                       FIRFilter, resample, outputlength, inputlength,
-                      freqresp, phaseresp, grpdelay, impresp, stepresp)
+                      freqresp, phaseresp, grpdelay, impresp, stepresp,
+                      buttord, ellipord, cheb1ord, cheb2ord, remezord)
 from .ops.periodograms import (arraysplit, periodogram, welch_pgram,
                                spectrogram, stft, WelchConfig, Periodogram,
                                Periodogram2, Spectrogram, power, freq,
                                tfr_time, fftshift_tfr)
+from .ops.multitaper import (MTConfig, dpss_config, mt_pgram, mt_spectrogram,
+                             mt_cross_power_spectra, mt_coherence,
+                             coherence_from_cs)
+from .ops.lpc import lpc, arburg, levinson
+from .ops.estimation import esprit, jacobsen, quinn
+from . import parallel
 from .utils.util import (hilbert, db2pow, db2amp, pow2db, amp2db, rms, rmsfft,
                          meanfreq, finddelay, shiftsignal, alignsignals,
                          shiftin)

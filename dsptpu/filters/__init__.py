@@ -10,3 +10,4 @@ from .filt import (filt, sosfilt, DF2TFilter, filtfilt, fftfilt, tdfilt,
 from .stream_filt import (FIRFilter, taps2pfb, resample, polyphase_filt,
                           outputlength, inputlength)
 from .response import freqresp, phaseresp, grpdelay, impresp, stepresp
+from .filt_order import buttord, ellipord, cheb1ord, cheb2ord, remezord

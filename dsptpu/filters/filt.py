@@ -5,13 +5,17 @@ Capability parity with reference src/Filters/filt.jl (SOS cascade
 :35-65, Biquad :70-92, DF2TFilter :122-230, filtfilt :245-360,
 filt_stepstate :370-423, tdfilt/fftfilt :431-551). TPU-first redesign:
 
-  * The IIR/biquad recurrence is a *parallel associative scan* over
-    affine state updates z_t = M z_{t-1} + c x_t (M the 2x2 — or pxp
-    companion — transition matrix). O(log n) depth on device instead of
-    the reference's sequential per-sample loop (filt.jl:39-49), fully
-    vectorized over trailing channel dims. Stable filters keep the
-    cumulative transition products bounded, so accuracy in float64
-    matches the sequential form to ~1 ulp per log2(n) levels.
+  * The IIR/biquad recurrence z_t = M z_{t-1} + c x_t (M the 2x2 — or
+    pxp companion — transition matrix) runs as a *blocked parallel
+    linear recurrence*: M is constant and its coefficients are host
+    design-time values, so all transition-power and lower-triangular
+    Toeplitz-of-powers tables are precomputed in numpy float64 and the
+    device work is one dense (S*p, S*p) matmul per block batch (MXU)
+    plus an O(log(n/S))-depth associative scan over block boundary
+    states only. This replaces the reference's sequential per-sample
+    loop (filt.jl:39-49) and is fully vectorized over trailing channel
+    dims. Stable filters keep the power tables bounded, so float64
+    accuracy matches the sequential form to ~1 ulp per combine level.
   * filtfilt's odd-symmetric edge extrapolation is pure batched slicing
     (no per-column loops).
   * fftfilt reuses the batched overlap-save convolution (one rFFT over
@@ -56,41 +60,121 @@ def _affine_scan(M, u, z0):
     return z
 
 
+def _affine_tables(bp_key, ap_key, S):
+    """Host numpy float64 tables for the blocked recurrence of the
+    companion transition M (p x p) of a normalized (a0 == 1) filter.
+
+    Returns (c, M, T2, MS, P1) where c is the DF2T input-injection
+    vector, T2 the (S*p, S*p) lower-triangular Toeplitz-of-powers
+    matrix with T2[s*p+a, i*p+b] = (M^{s-i})[a, b] for i <= s, MS = M^S,
+    and P1 = stacked powers M^1..M^S as (S, p, p)."""
+    bp = np.asarray(bp_key, dtype=np.float64)
+    ap = np.asarray(ap_key, dtype=np.float64)
+    p = len(ap) - 1
+    M = np.zeros((p, p))
+    M[:, 0] = -ap[1:]
+    if p > 1:
+        M += np.eye(p, k=1)
+    c = bp[1:] - ap[1:] * bp[0]
+    powers = np.empty((S + 1, p, p))
+    powers[0] = np.eye(p)
+    for k in range(S):
+        powers[k + 1] = M @ powers[k]
+    diff = np.arange(S)[:, None] - np.arange(S)[None, :]
+    T = np.where((diff >= 0)[:, :, None, None],
+                 powers[np.clip(diff, 0, S)], 0.0)   # (S, S, p, p)
+    T2 = T.transpose(0, 2, 1, 3).reshape(S * p, S * p)
+    return c, M, T2, powers[S], powers[1: S + 1]
+
+
+_affine_tables_cache = {}
+
+
+def _affine_tables_cached(bp, ap, S):
+    key = (tuple(np.asarray(bp, dtype=np.float64).tolist()),
+           tuple(np.asarray(ap, dtype=np.float64).tolist()), S)
+    hit = _affine_tables_cache.get(key)
+    if hit is None:
+        hit = _affine_tables(key[0], key[1], S)
+        if len(_affine_tables_cache) > 256:
+            _affine_tables_cache.clear()
+        _affine_tables_cache[key] = hit
+    return hit
+
+
+_AFFINE_BLOCK = 128
+
+
+def _affine_apply(bp, ap, x, z0):
+    """Transposed DF-II of a normalized filter over x (n, C) with
+    initial state z0 (p, C); returns (y, z_final).
+
+    bp/ap are host numpy coefficient vectors (equal length p+1,
+    a[0] == 1) — design-time constants per the architecture — so the
+    blocked-recurrence tables are computed on host (no traced power
+    chains for XLA to constant-fold). Device work per block batch: one
+    (S*p, S*p) matmul for within-block prefix states, an associative
+    scan over the n/S block boundary states, and a rank-1 reconstruct.
+    Replaces the reference's sequential loop (dspbase.jl:69-92,
+    Filters/filt.jl:39-49)."""
+    dtype = x.dtype
+    n, C = x.shape
+    p = len(ap) - 1
+    S = _AFFINE_BLOCK
+    c, M, T2, MS, P1 = _affine_tables_cached(bp, ap, S)
+    b0 = jnp.asarray(np.float64(bp[0])).astype(dtype)
+
+    u = x[:, None, :] * jnp.asarray(c).astype(dtype)[:, None]  # (n, p, C)
+    u = u.at[0].add(jnp.asarray(M).astype(dtype) @ z0)
+
+    B = -(-n // S)
+    npad = B * S - n
+    if npad:
+        u = jnp.pad(u, ((0, npad), (0, 0), (0, 0)))
+    U = u.reshape(B, S * p, C)
+    W = jnp.einsum("wv,bvc->bwc", jnp.asarray(T2).astype(dtype), U)
+    Wl = W.reshape(B, S, p, C)
+
+    # cross-block boundary states: zs_{k+1} = M^S zs_k + W[k, -1]
+    zin = jnp.zeros((p, C), dtype)
+    if B > 1:
+        zs = _affine_scan(jnp.asarray(MS).astype(dtype), Wl[:-1, -1],
+                          jnp.zeros((p, C), dtype))       # (B-1, p, C)
+        zin = jnp.concatenate([zin[None], zs], axis=0)    # (B, p, C)
+    else:
+        zin = zin[None]
+
+    # reconstruct z_{k,s} = M^{s+1} zin_k + W[k, s]
+    z = jnp.einsum("sab,kbc->ksac", jnp.asarray(P1).astype(dtype), zin) + Wl
+    zflat = z.reshape(B * S, p, C)[:n]
+
+    z_prev1 = jnp.concatenate([z0[0][None], zflat[:-1, 0]], axis=0)
+    y = b0 * x + z_prev1
+    return y, zflat[-1]
+
+
 def _biquad_apply(b0, b1, b2, a1, a2, x, z0):
-    """One DF2T biquad over x (n, C) with state z0 (2, C); returns
-    (y, z_final). State convention matches reference filt.jl:39-49."""
-    dtype = x.dtype
-    one = jnp.ones((), dtype)
-    zero = jnp.zeros((), dtype)
-    M = jnp.stack([jnp.stack([-a1, one]),
-                   jnp.stack([-a2, zero])]).astype(dtype)
-    c = jnp.stack([b1 - a1 * b0, b2 - a2 * b0]).astype(dtype)
-    u = x[:, None, :] * c[:, None]
-    z = _affine_scan(M, u, z0)
-    z_prev1 = jnp.concatenate([z0[0][None], z[:-1, 0]], axis=0)
-    y = b0 * x + z_prev1
-    return y, z[-1]
+    """One DF2T biquad (reference filt.jl:39-49 state convention);
+    coefficients are host scalars. x (n, C), z0 (2, C)."""
+    return _affine_apply(np.array([b0, b1, b2]),
+                         np.array([1.0, a1, a2]), x, z0)
 
 
-def _iir_affine(b, a, x, z0):
-    """General-order transposed DF-II via the companion-matrix affine
-    scan. b, a padded to equal length sz+1 with a[0] == 1; x (n, C);
-    z0 (sz, C). Returns (y, z_final)."""
-    dtype = x.dtype
-    sz = b.shape[0] - 1
-    at = a[1:].astype(dtype)
-    bt = b[1:].astype(dtype)
-    b0 = b[0].astype(dtype)
-    M = jnp.zeros((sz, sz), dtype)
-    M = M.at[:, 0].set(-at)
-    if sz > 1:
-        M = M + jnp.eye(sz, k=1, dtype=dtype)
-    c = bt - at * b0
-    u = x[:, None, :] * c[:, None]
-    z = _affine_scan(M, u, z0)
-    z_prev1 = jnp.concatenate([z0[0][None], z[:-1, 0]], axis=0)
-    y = b0 * x + z_prev1
-    return y, z[-1]
+def _companion_powers(ap, n):
+    """Host powers M^0..M^n of the companion matrix (for cross-shard
+    state chaining). Returns (n+1, p, p) numpy float64."""
+    ap = np.asarray(ap, dtype=np.float64)
+    p = len(ap) - 1
+    M = np.zeros((p, p))
+    M[:, 0] = -ap[1:]
+    if p > 1:
+        M += np.eye(p, k=1)
+    out = np.empty((n + 1, p, p))
+    out[0] = np.eye(p)
+    for k in range(n):
+        out[k + 1] = M @ out[k]
+    return out
+
 
 
 # ---------------------------------------------------------------------------
@@ -121,9 +205,9 @@ def _sosfilt(sos, g, x, si):
     si_flat = si.reshape(2, nsec, -1).astype(dtype)
     y = flat
     finals = []
+    sos_np = np.asarray(sos, dtype=np.float64)
     for k in range(nsec):
-        b0, b1, b2, a1, a2 = (jnp.asarray(sos[k, j], dtype) for j in range(5))
-        y, zf = _biquad_apply(b0, b1, b2, a1, a2, y, si_flat[:, k])
+        y, zf = _biquad_apply(*sos_np[k], y, si_flat[:, k])
         finals.append(zf)
     y = y * jnp.asarray(g, dtype)
     si_final = jnp.stack(finals, axis=1).reshape((2, nsec) + x.shape[1:])
@@ -307,15 +391,14 @@ def _iir_filtfilt(b, a, x):
     pad = min(3 * (max(len(a), len(b)) - 1), x.shape[0] - 1)
     zi, bp, ap = filt_stepstate(b, a)
     flat, restore = _flatten_channels(x)
-    dtype = jnp.result_type(flat.dtype, jnp.asarray(bp).dtype)
+    dtype = jnp.result_type(flat.dtype, np.float64)
     flat = flat.astype(dtype)
-    bj, aj = jnp.asarray(bp, dtype), jnp.asarray(ap, dtype)
     zij = jnp.asarray(zi, dtype)
 
     ext = _extrapolate(flat, pad)
-    y1, _ = _iir_affine(bj, aj, ext, zij[:, None] * ext[0][None, :])
+    y1, _ = _affine_apply(bp, ap, ext, zij[:, None] * ext[0][None, :])
     y1r = y1[::-1]
-    y2, _ = _iir_affine(bj, aj, y1r, zij[:, None] * y1r[0][None, :])
+    y2, _ = _affine_apply(bp, ap, y1r, zij[:, None] * y1r[0][None, :])
     y = y2[::-1]
     return restore(y[pad: pad + x.shape[0]] if pad else y)
 

@@ -54,6 +54,32 @@ def _gather_windows(xcat, end_idx, winlen):
     return xcat[idx]
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _block_matmul(xcat, G, s0, B, M, W, out_len):
+    """Block-polyphase filtering as a regular matmul (MXU path).
+
+    Outputs are grouped into B blocks of L = G.shape[1] consecutive
+    outputs; block b reads the input window xcat[s0 + b*M : +W] (frames
+    built from shifted strided reshapes, no gather) and multiplies the
+    (W, L) banded matrix G whose column p holds the taps of the p-th
+    in-block output at its intra-block offset. Exactly reproduces the
+    reference's per-output dot sequence (stream_filt.jl:476-515) at
+    matmul throughput. xcat: (n, *chans)."""
+    L = G.shape[1]
+    xc = jnp.moveaxis(xcat, 0, -1)                     # (*chans, n)
+    q = -(-(W - M) // M) if W > M else 0
+    needed = s0 + (B + q + 1) * M
+    pad = max(needed - xc.shape[-1], 0)
+    if pad:
+        xc = jnp.pad(xc, [(0, 0)] * (xc.ndim - 1) + [(0, pad)])
+    parts = [xc[..., s0 + j * M: s0 + (B + j) * M]
+             .reshape(xc.shape[:-1] + (B, M)) for j in range(q + 1)]
+    frames = jnp.concatenate(parts, axis=-1)[..., :W]
+    y = jnp.einsum("...bw,wl->...bl", frames, G.astype(frames.dtype))
+    y = y.reshape(xc.shape[:-1] + (B * L,))[..., :out_len]
+    return jnp.moveaxis(y, -1, 0)
+
+
 @partial(jax.jit, static_argnums=(4,))
 def _pfb_dot(xcat, pfb_t, end_idx, phi_idx, winlen):
     """y[j] = dot(pfb[:, phi[j]], xcat[end[j]-winlen+1 : end[j]+1]).
@@ -436,16 +462,56 @@ class FIRFilter:
             self.history = jnp.zeros((self.history_len,) + x.shape[1:],
                                      x.dtype)
 
+    def _block_args(self, xlen):
+        """Host-side planning for the block-matmul device path: build
+        the (W, L) banded tap matrix G for the kernel's current phase
+        and the static block geometry. Returns (G, s0, B, M, W, out_len)."""
+        k = self.kernel
+        if isinstance(k, FIRRational):
+            L, M = k.ratio.numerator, k.ratio.denominator
+            pfb_t = np.asarray(k.pfb_t)
+            taps = k.taps_per_phi
+            phi0 = k.phi_idx
+        elif isinstance(k, FIRInterpolator):
+            L, M = k.interpolation, 1
+            pfb_t = np.asarray(k.pfb_t)
+            taps = k.taps_per_phi
+            phi0 = k.phi_idx
+        elif isinstance(k, FIRDecimator):
+            L, M = 1, k.decimation
+            pfb_t = np.asarray(k.pfb_t)
+            taps = k.hlen
+            phi0 = 1
+        else:
+            raise TypeError(type(k))
+        deficit = k.input_deficit
+        out_len = k.output_length(xlen)
+        cache = getattr(k, "_g_cache", None)
+        if cache is None:
+            cache = k._g_cache = {}
+        key = phi0
+        if key in cache:
+            G, W = cache[key]
+        else:
+            offs = [(phi0 - 1 + M * p) // L for p in range(L)]
+            W = max(offs) + taps
+            G = np.zeros((W, L))
+            for p in range(L):
+                G[offs[p]: offs[p] + taps, p] = pfb_t[(phi0 - 1 + M * p) % L]
+            cache[key] = (G, W)
+        s0 = self.history_len + deficit - 1 - (taps - 1)
+        B = -(-out_len // L)
+        return G, s0, B, M, W, out_len
+
     def filt(self, x):
         x = jnp.asarray(x)
         xlen = x.shape[0]
         self._ensure_history(x)
         k = self.kernel
-        plan = k.plan(xlen)
         xcat = jnp.concatenate([self.history, x], axis=0) \
             if self.history_len else x
         if isinstance(k, FIRArbitrary):
-            head, alpha, out_len = plan
+            head, alpha, out_len = k.plan(xlen)
             if out_len:
                 x_idx, phi_idx = head[0], head[1]
                 end0 = self.history_len + x_idx - 1  # 0-based into xcat
@@ -454,12 +520,20 @@ class FIRFilter:
                                  jnp.asarray(alpha), k.taps_per_phi)
             else:
                 y = jnp.zeros((0,) + x.shape[1:], x.dtype)
+        elif isinstance(k, FIRStandard):
+            out_len = xlen
+            from ..ops import dspbase
+            h = jnp.asarray(k.h, xcat.dtype if not jnp.iscomplexobj(xcat)
+                            else k.h.dtype)
+            y = dspbase.filt(h, None, xcat)[self.history_len:]
         else:
-            end_idx, phi_idx, out_len = plan
+            out_len = (k.output_length(xlen)
+                       if xlen >= k.input_deficit else 0)
             if out_len:
-                end0 = self.history_len + end_idx - 1
-                y = _pfb_dot(xcat, k.pfb_t, jnp.asarray(end0),
-                             jnp.asarray(phi_idx), k.pfb_t.shape[1])
+                G, s0, B, M, W, out_len = self._block_args(xlen)
+                Gd = jnp.asarray(G, x.dtype if not jnp.iscomplexobj(x)
+                                 else np.float64)
+                y = _block_matmul(xcat, Gd, s0, B, M, W, out_len)
             else:
                 y = jnp.zeros((0,) + x.shape[1:], x.dtype)
         k.commit(xlen, out_len)

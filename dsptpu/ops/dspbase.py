@@ -37,7 +37,7 @@ _CONV_DIRECT_CUTOFF = 1 << 18
 # FIR tap count above which filt() switches from the direct MXU
 # convolution to batched overlap-save (reference SMALL_FILT_CUTOFF = 66,
 # dspbase.jl:3; higher here because the MXU amortizes direct conv well).
-_FIR_OS_CUTOFF = 256
+_FIR_OS_CUTOFF = 64
 
 
 def _as_1d(c, name):
@@ -187,9 +187,12 @@ def deconv(b, a):
 # ---------------------------------------------------------------------------
 
 def optimal_os_nfft(nu, nv):
-    """Pick the overlap-save FFT size minimizing multiplies per output
+    """Pick the overlap-save FFT size minimizing cost per output
     sample, restricted to powers of two (cost model after reference
-    dspbase.jl:262-291, with a pow2 constraint for the TPU FFT)."""
+    dspbase.jl:262-291, with a pow2 constraint for the TPU FFT and an
+    extra additive log-term weight measured on TPU v5e: the XLA TPU
+    FFT's per-point cost grows faster than log2(n), so mid-size blocks
+    win over the FFTW-optimal larger ones)."""
     first = max(2 * nv, 8)
     nfft = 1 << (first - 1).bit_length()
     best, best_cost = nfft, None
@@ -197,7 +200,7 @@ def optimal_os_nfft(nu, nv):
     while n <= 4 * (nu + nv - 1):
         L = n - nv + 1
         if L > 0:
-            cost = (n * (math.log2(n) + 1)) / L
+            cost = (n * (math.log2(n) + 3)) / L
             if best_cost is None or cost < best_cost:
                 best, best_cost = n, cost
         n *= 2
@@ -221,17 +224,24 @@ def _conv_fft_simple(u, v, outsize):
     return out[tuple(slice(0, s) for s in outsize)].astype(dtype)
 
 
-def _frame_gather(x, num_frames, hop, frame_len):
-    """(n, *chans) -> (num_frames, frame_len, *chans) sliding frames."""
-    idx = (jnp.arange(num_frames)[:, None] * hop
-           + jnp.arange(frame_len)[None, :])
-    return x[idx]
+def _os_frames(up, K, L, W):
+    """Overlapped frames up[..., k*L : k*L + W] for k < K, built from
+    shifted strided reshapes (no gather — a gather here cost ~3x on
+    TPU). up: (..., total) with total >= (K + ceil((W-L)/L)) * L.
+    Returns (..., K, W)."""
+    q = -(-(W - L) // L)
+    parts = [up[..., j * L:(K + j) * L].reshape(up.shape[:-1] + (K, L))
+             for j in range(q + 1)]
+    return jnp.concatenate(parts, axis=-1)[..., :W]
 
 
 def _conv_os_1d(u, v, nfft=None):
     """Batched overlap-save convolution along axis 0; u is the long
-    input (n, *chans), v the 1-D filter. All segment FFTs run as one
-    batched rFFT (TPU-first replacement for reference dspbase.jl:490-609)."""
+    input (n, *chans), v the 1-D filter. TPU-first replacement for the
+    reference's sequential per-block loop (dspbase.jl:490-609): one
+    batched rFFT covers every block of every channel, channels ride as
+    leading batch dims so the FFT runs on the innermost axis, and
+    frames come from strided reshapes instead of gathers."""
     nu, nv = u.shape[0], v.shape[0]
     nout = nu + nv - 1
     dtype = jnp.result_type(u.dtype, v.dtype)
@@ -242,27 +252,25 @@ def _conv_os_1d(u, v, nfft=None):
         raise ValueError("nfft must be at least the filter length")
     L = nfft - nv + 1
     K = -(-nout // L)  # ceil
+    q = -(-(nfft - L) // L)
 
+    uc = jnp.moveaxis(u.astype(dtype), 0, -1)    # (*chans, n)
     pad_front = nv - 1
-    pad_back = K * L + nv - 1 - nu - pad_front
-    pad = [(pad_front, max(pad_back, 0))] + [(0, 0)] * (u.ndim - 1)
-    up = jnp.pad(u.astype(dtype), pad)
+    total = (K + q) * L
+    pad = [(0, 0)] * (u.ndim - 1) + [(pad_front, total - nu - pad_front)]
+    up = jnp.pad(uc, pad)
 
-    frames = _frame_gather(up, K, L, nfft)       # (K, nfft, *chans)
+    frames = _os_frames(up, K, L, nfft)          # (*chans, K, nfft)
     if cplx:
         H = jnp.fft.fft(v.astype(dtype), n=nfft)
-        F = jnp.fft.fft(frames, axis=1)
-        y = jnp.fft.ifft(F * H.reshape((1, nfft) + (1,) * (u.ndim - 1)),
-                         axis=1)
+        y = jnp.fft.ifft(jnp.fft.fft(frames, axis=-1) * H, axis=-1)
     else:
         H = jnp.fft.rfft(v.astype(dtype), n=nfft)
-        F = jnp.fft.rfft(frames, axis=1)
-        y = jnp.fft.irfft(
-            F * H.reshape((1, nfft // 2 + 1) + (1,) * (u.ndim - 1)),
-            n=nfft, axis=1)
-    y = y[:, nv - 1:, ...]                       # (K, L, *chans) valid part
-    y = y.reshape((K * L,) + u.shape[1:])[:nout]
-    return y.astype(dtype)
+        y = jnp.fft.irfft(jnp.fft.rfft(frames, axis=-1) * H, n=nfft,
+                          axis=-1)
+    y = y[..., nv - 1:]                          # (*chans, K, L) valid part
+    y = y.reshape(u.shape[1:] + (K * L,))[..., :nout]
+    return jnp.moveaxis(y, -1, 0).astype(dtype)
 
 
 def _conv_direct(u, v, outsize):

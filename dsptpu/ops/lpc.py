@@ -1,0 +1,128 @@
+"""Linear predictive coding: Burg and Levinson-Durbin estimation.
+
+Capability parity with reference src/lpc.jl (lpc :26-32,94-98,159,
+arburg :53-92, levinson :122-145). TPU-first shape: the recursions are
+sequential over the (small, static) model order p, but every
+per-order update is a whole-signal vector op, so the device code is a
+Python loop over p emitting batched jnp ops — channels on trailing
+dims ride the VPU lanes (a superset of the reference's vector-only
+API).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from .dspbase import xcorr
+
+__all__ = ["lpc", "arburg", "levinson"]
+
+
+def arburg(x, p):
+    """Burg-method LPC (reference lpc.jl:53-92, Vos fast recursion).
+    x: (n,) or (n, *chans). Returns (a, prediction_err,
+    reflection_coeffs) with a[0] = 1, a shaped (p+1, *chans)."""
+    x = jnp.asarray(x)
+    vec = x.ndim == 1
+    xf = x[:, None] if vec else x.reshape(x.shape[0], -1)
+    n, C = xf.shape
+    if p >= n:
+        raise ValueError("model order must be less than the signal length")
+    cplx = jnp.issubdtype(xf.dtype, jnp.complexfloating)
+    dtype = xf.dtype if (cplx or jnp.issubdtype(xf.dtype, jnp.floating)) \
+        else jnp.float64
+
+    unnormed = jnp.abs(jnp.sum(jnp.conj(xf) * xf, axis=0))  # (C,)
+    pred_err = unnormed / n
+    ef = xf.astype(dtype)
+    eb = xf.astype(dtype)
+    a = [jnp.ones((C,), dtype)] + [jnp.zeros((C,), dtype)
+                                   for _ in range(p)]
+    refl = []
+    den = 2 * unnormed
+    ratio = jnp.ones_like(unnormed)
+
+    for m in range(1, p + 1):
+        cf = ef[-1]
+        cb = eb[0]
+        ef = ef[:-1]
+        eb = eb[1:]
+        den = ratio * den - (jnp.abs(cf) ** 2 + jnp.abs(cb) ** 2)
+        k = -2 * jnp.sum(jnp.conj(eb) * ef, axis=0) / den
+        refl.append(k)
+        new_a = list(a)
+        for i in range(1, m + 1):
+            new_a[i] = a[i] + k * jnp.conj(a[m - i])
+        a = new_a
+        ef_new = ef + k * eb
+        eb = eb + jnp.conj(k) * ef
+        ef = ef_new
+        ratio = 1 - jnp.abs(k) ** 2
+        pred_err = pred_err * ratio
+
+    a_arr = jnp.conj(jnp.stack(a))                      # (p+1, C)
+    refl_arr = jnp.stack(refl)
+    if vec:
+        return a_arr[:, 0], pred_err[0], refl_arr[:, 0]
+    shape = x.shape[1:]
+    return (a_arr.reshape((p + 1,) + shape), pred_err.reshape(shape),
+            refl_arr.reshape((p,) + shape))
+
+
+def levinson(R, p):
+    """Levinson-Durbin recursion on an autocorrelation sequence
+    (reference lpc.jl:122-145). R: (>= p+1,) or (m, *chans). Returns
+    (a, prediction_err, reflection_coeffs), a shaped (p, *chans)."""
+    R = jnp.asarray(R)
+    vec = R.ndim == 1
+    Rf = R[:, None] if vec else R.reshape(R.shape[0], -1)
+    C = Rf.shape[1]
+    if Rf.shape[0] < p + 1:
+        raise ValueError("need at least p+1 autocorrelation lags")
+    cplx = jnp.issubdtype(Rf.dtype, jnp.complexfloating)
+    dtype = Rf.dtype if (cplx or jnp.issubdtype(Rf.dtype, jnp.floating)) \
+        else jnp.float64
+    Rf = Rf.astype(dtype)
+
+    k = -Rf[1] / Rf[0]
+    pred_err = jnp.real(Rf[0]) * (1 - jnp.abs(k) ** 2)
+    a = [k] + [jnp.zeros((C,), dtype) for _ in range(p - 1)]
+    refl = [k]
+    for m in range(2, p + 1):
+        acc = Rf[m]
+        for i in range(1, m):
+            # dotu (unconjugated): reference lpc.jl:148-156
+            acc = acc + Rf[i] * a[m - 1 - i]
+        k = -acc / pred_err
+        new_a = list(a)
+        for i in range(m - 1):
+            new_a[i] = a[i] + k * jnp.conj(a[m - 2 - i])
+        new_a[m - 1] = k
+        a = new_a
+        refl.append(k)
+        pred_err = pred_err * (1 - jnp.abs(k) ** 2)
+
+    a_arr = jnp.stack(a)
+    refl_arr = jnp.stack(refl)
+    if vec:
+        return a_arr[:, 0], pred_err[0], refl_arr[:, 0]
+    shape = R.shape[1:]
+    return (a_arr.reshape((p,) + shape), pred_err.reshape(shape),
+            refl_arr.reshape((p,) + shape))
+
+
+def lpc(x, p, method="burg"):
+    """LPC coefficients and prediction error (reference lpc.jl:26-32,
+    94-98). Omits the implicit leading 1 (like the reference).
+    method in {"burg", "levinson"}."""
+    x = jnp.asarray(x)
+    if method == "burg":
+        a, err, _ = arburg(x, p)
+        return a[1:], err
+    if method == "levinson":
+        if x.ndim != 1:
+            raise ValueError("levinson lpc expects a vector")
+        n = x.shape[0]
+        R = xcorr(x, scaling="biased")[n - 1:]
+        a, err, _ = levinson(R, p)
+        return a, err
+    raise ValueError("method must be 'burg' or 'levinson'")

@@ -297,7 +297,7 @@ class WelchConfig:
         nfft = nextfastfft(n) if nfft is None else int(nfft)
         if nfft < n:
             raise ValueError("nfft must be >= n")
-        if window == "hanning":
+        if isinstance(window, str) and window == "hanning":
             window = _windows.hanning
         win, _ = _resolve_window(window, n)
         return WelchConfig(n, noverlap, onesided, nfft, float(fs),

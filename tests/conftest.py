@@ -15,3 +15,9 @@ import jax  # noqa: E402
 # runs, so force the platform through the config API as well.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the sharding/associative-scan tests are
+# compile-heavy; cache compiled executables across test runs.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -226,3 +226,43 @@ class TestFFTFilt:
         x = rng.standard_normal(8000)
         got = np.asarray(dsptpu.filt(b, x))
         np.testing.assert_allclose(got, sp.lfilter(b, [1.0], x), atol=1e-8)
+
+
+class TestBlockedBiquad:
+    """Exercise the blocked parallel linear-recurrence path
+    (n >= 4 * _BIQUAD_BLOCK), including non-divisible lengths."""
+
+    @pytest.mark.parametrize("n", [4096, 5000, 4097])
+    def test_long_sosfilt_matches_scipy(self, n):
+        sos_sp = sp.butter(8, 0.2, output="sos")
+        ours = np.column_stack([sos_sp[:, :3], sos_sp[:, 4:]])
+        x = rng.standard_normal(n)
+        got = np.asarray(sosfilt(ours, x))
+        np.testing.assert_allclose(got, sp.sosfilt(sos_sp, x), atol=1e-9)
+
+    def test_long_streaming_state(self):
+        f = butter_sos()
+        x = rng.standard_normal(3000)
+        whole = np.asarray(sosfilt(f, x))
+        si = np.zeros((2, len(f.biquads)))
+        parts = []
+        for chunk in np.split(x, [1025, 2060]):
+            y, si = sosfilt(f, chunk, si=si)
+            parts.append(np.asarray(y))
+        np.testing.assert_allclose(np.concatenate(parts), whole, atol=1e-9)
+
+    def test_long_filtfilt(self):
+        b, a = sp.butter(4, 0.2)
+        x = rng.standard_normal(6000)
+        got = np.asarray(filtfilt(b, a, x))
+        want = sp.filtfilt(b, a, x, padtype="odd",
+                           padlen=3 * (max(len(a), len(b)) - 1))
+        np.testing.assert_allclose(got, want, atol=1e-8)
+
+    def test_long_multichannel(self):
+        sos_sp = sp.butter(6, 0.3, output="sos")
+        ours = np.column_stack([sos_sp[:, :3], sos_sp[:, 4:]])
+        x = rng.standard_normal((2048, 3))
+        got = np.asarray(sosfilt(ours, x))
+        np.testing.assert_allclose(got, sp.sosfilt(sos_sp, x, axis=0),
+                                   atol=1e-9)

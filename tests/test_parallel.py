@@ -1,0 +1,90 @@
+"""Sharded-op tests on a virtual 8-device CPU mesh: sharded results
+must match the single-device implementations exactly (no reference
+analogue — SURVEY.md §2.10)."""
+
+import numpy as np
+import pytest
+import jax
+from scipy import signal as sp
+
+from dsptpu.parallel import make_mesh, shard_fir, shard_fftfilt, shard_welch, \
+    shard_sosfilt
+from dsptpu.ops.periodograms import welch_pgram, power
+from dsptpu.ops import windows
+from dsptpu.filters import sosfilt
+
+rng = np.random.default_rng(1776)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh((1, 8))
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    return make_mesh((2, 4))
+
+
+class TestShardFIR:
+    def test_matches_lfilter(self, mesh):
+        b = rng.standard_normal(31)
+        x = rng.standard_normal(4096)
+        got = np.asarray(shard_fir(b, x, mesh))
+        np.testing.assert_allclose(got, sp.lfilter(b, [1.0], x), atol=1e-10)
+
+    def test_long_taps_os_path(self, mesh):
+        b = rng.standard_normal(300)
+        x = rng.standard_normal(8192)
+        got = np.asarray(shard_fftfilt(b, x, mesh))
+        np.testing.assert_allclose(got, sp.lfilter(b, [1.0], x), atol=1e-8)
+
+    def test_channel_sharded_2d(self, mesh2d):
+        b = rng.standard_normal(63)
+        x = rng.standard_normal((2048, 8))
+        got = np.asarray(shard_fir(b, x, mesh2d, channel_axis="channel"))
+        np.testing.assert_allclose(got, sp.lfilter(b, [1.0], x, axis=0),
+                                   atol=1e-10)
+
+
+class TestShardWelch:
+    def test_matches_welch(self, mesh):
+        n, noverlap = 256, 128
+        x = rng.standard_normal(8192)
+        win = np.asarray(windows.hanning(n))
+        psd, freqs = shard_welch(x, n, noverlap, win, mesh, fs=2.0)
+        ref = welch_pgram(x, n, noverlap, window=win, fs=2.0)
+        np.testing.assert_allclose(np.asarray(psd), np.asarray(power(ref)),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_multichannel(self, mesh2d):
+        n, noverlap = 128, 64
+        x = rng.standard_normal((4096, 4))
+        win = np.asarray(windows.hamming(n))
+        psd, _ = shard_welch(x, n, noverlap, win, mesh2d,
+                             channel_axis="channel")
+        ref = welch_pgram(x, n, noverlap, window=win)
+        np.testing.assert_allclose(np.asarray(psd), np.asarray(power(ref)),
+                                   rtol=1e-9, atol=1e-12)
+
+
+class TestShardSOS:
+    def test_matches_sosfilt(self, mesh):
+        sos_sp = sp.butter(8, 0.2, output="sos")
+        ours = np.column_stack([sos_sp[:, :3], sos_sp[:, 4:]])
+        x = rng.standard_normal(4096)
+        got = np.asarray(shard_sosfilt(ours, 1.0, x, mesh))
+        want = sp.sosfilt(sos_sp, x)
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+    def test_multichannel(self, mesh2d):
+        sos_sp = sp.butter(4, 0.35, output="sos")
+        ours = np.column_stack([sos_sp[:, :3], sos_sp[:, 4:]])
+        x = rng.standard_normal((2048, 4))
+        got = np.asarray(shard_sosfilt(ours, 1.0, x, mesh2d,
+                                       channel_axis="channel"))
+        want = sp.sosfilt(sos_sp, x, axis=0)
+        np.testing.assert_allclose(got, want, atol=1e-9)
