@@ -22,7 +22,8 @@ from .filters import (filt, sosfilt, DF2TFilter, filtfilt, fftfilt, tdfilt,
                       kaiserord, FIRWindow, resample_filter,
                       FIRFilter, resample, outputlength, inputlength,
                       freqresp, phaseresp, grpdelay, impresp, stepresp,
-                      buttord, ellipord, cheb1ord, cheb2ord, remezord)
+                      buttord, ellipord, cheb1ord, cheb2ord, remezord,
+                      remez, RemezFilterType)
 from .ops.periodograms import (arraysplit, periodogram, welch_pgram,
                                spectrogram, stft, WelchConfig, Periodogram,
                                Periodogram2, Spectrogram, power, freq,

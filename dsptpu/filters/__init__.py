@@ -11,3 +11,4 @@ from .stream_filt import (FIRFilter, taps2pfb, resample, polyphase_filt,
                           outputlength, inputlength)
 from .response import freqresp, phaseresp, grpdelay, impresp, stepresp
 from .filt_order import buttord, ellipord, cheb1ord, cheb2ord, remezord
+from .remez_fir import remez, RemezFilterType
