@@ -124,33 +124,39 @@ def _affine_apply(bp, ap, x, z0):
     c, M, T2, MS, P1 = _affine_tables_cached(bp, ap, S)
     b0 = jnp.asarray(np.float64(bp[0])).astype(dtype)
 
-    u = x[:, None, :] * jnp.asarray(c).astype(dtype)[:, None]  # (n, p, C)
-    u = u.at[0].add(jnp.asarray(M).astype(dtype) @ z0)
+    # channels ride the leading batch dim; the only big contraction is
+    # a clean (C*B, S*p) @ (S*p, S*p) matmul, so the tiny p never lands
+    # in the TPU lane axis
+    xT = x.T                                             # (C, n)
+    u = xT[:, :, None] * jnp.asarray(c).astype(dtype)    # (C, n, p)
+    u = u.at[:, 0].add((jnp.asarray(M).astype(dtype) @ z0).T)
 
     B = -(-n // S)
     npad = B * S - n
     if npad:
-        u = jnp.pad(u, ((0, npad), (0, 0), (0, 0)))
-    U = u.reshape(B, S * p, C)
-    W = jnp.einsum("wv,bvc->bwc", jnp.asarray(T2).astype(dtype), U)
-    Wl = W.reshape(B, S, p, C)
+        u = jnp.pad(u, ((0, 0), (0, npad), (0, 0)))
+    U = u.reshape(C * B, S * p)
+    W = jnp.dot(U, jnp.asarray(T2.T).astype(dtype),
+                preferred_element_type=dtype)            # (C*B, S*p)
+    Wl = W.reshape(C, B, S, p)
 
     # cross-block boundary states: zs_{k+1} = M^S zs_k + W[k, -1]
-    zin = jnp.zeros((p, C), dtype)
+    zin = jnp.zeros((1, p, C), dtype)
     if B > 1:
-        zs = _affine_scan(jnp.asarray(MS).astype(dtype), Wl[:-1, -1],
-                          jnp.zeros((p, C), dtype))       # (B-1, p, C)
-        zin = jnp.concatenate([zin[None], zs], axis=0)    # (B, p, C)
-    else:
-        zin = zin[None]
+        v = jnp.moveaxis(Wl[:, :-1, -1], 0, -1)          # (B-1, p, C)
+        zs = _affine_scan(jnp.asarray(MS).astype(dtype), v,
+                          jnp.zeros((p, C), dtype))      # (B-1, p, C)
+        zin = jnp.concatenate([zin, zs], axis=0)         # (B, p, C)
 
     # reconstruct z_{k,s} = M^{s+1} zin_k + W[k, s]
-    z = jnp.einsum("sab,kbc->ksac", jnp.asarray(P1).astype(dtype), zin) + Wl
-    zflat = z.reshape(B * S, p, C)[:n]
+    z = jnp.einsum("sab,kbc->cksa", jnp.asarray(P1).astype(dtype),
+                   zin) + Wl
+    zflat = z.reshape(C, B * S, p)[:, :n]
 
-    z_prev1 = jnp.concatenate([z0[0][None], zflat[:-1, 0]], axis=0)
-    y = b0 * x + z_prev1
-    return y, zflat[-1]
+    z1 = zflat[:, :, 0]                                  # (C, n)
+    z_prev1 = jnp.concatenate([z0[0][:, None], z1[:, :-1]], axis=1)
+    y = (b0 * xT + z_prev1).T
+    return y, zflat[:, -1].T
 
 
 def _biquad_apply(b0, b1, b2, a1, a2, x, z0):

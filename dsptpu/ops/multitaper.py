@@ -176,8 +176,8 @@ def mt_spectrogram(s, n=None, n_overlap=None, fs=1.0, nfft=None, nw=4,
     if hop <= 0:
         raise ValueError("need n > n_overlap")
     nseg = _num_segments(nsamples, n, n_overlap)
-    starts = np.arange(nseg) * hop
-    frames = s[jnp.asarray(starts[:, None] + np.arange(n)[None, :])]
+    from .periodograms import arraysplit
+    frames = arraysplit(s, n, n_overlap)              # (nseg, n)
     p = _mt_power(frames, config)                     # (nseg, nfreq)
     t = (np.arange(nseg) * hop + n / 2) / config.fs
     return Spectrogram(p.T, config.freq, t)

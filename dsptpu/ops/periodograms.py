@@ -125,8 +125,15 @@ def arraysplit(s, n, noverlap, nfft=None, window=None):
         raise ValueError("nfft must be >= n")
     k = _num_segments(s.shape[0], n, noverlap)
     hop = n - noverlap
-    idx = np.arange(k)[:, None] * hop + np.arange(n)[None, :]
-    frames = s[idx]                                 # (k, n, *chans)
+    # overlapped frames from shifted strided reshapes (gathers cost
+    # ~20x on TPU); part j covers frame offsets [j*hop, (j+1)*hop)
+    q = -(-n // hop)
+    need = (k + q) * hop
+    sp = s if s.shape[0] >= need else jnp.pad(
+        s, [(0, need - s.shape[0])] + [(0, 0)] * (s.ndim - 1))
+    parts = [sp[j * hop: (k + j) * hop].reshape((k, hop) + s.shape[1:])
+             for j in range(q)]
+    frames = jnp.concatenate(parts, axis=1)[:, :n]  # (k, n, *chans)
     if window is not None:
         win = _resolve_window(window, n)[0]
         frames = frames * jnp.asarray(win).reshape((1, n) + (1,) * (s.ndim - 1))

@@ -125,8 +125,14 @@ def shard_welch(x, n, noverlap, window, mesh, time_axis="time",
         shard_idx = lax.axis_index(time_axis)
         gstart = shard_idx * nlocal + starts
         valid = (gstart + n <= x.shape[0]).astype(xcat.dtype)
-        idxm = starts[:, None] + jnp.arange(n)[None, :]
-        frames = xcat[idxm]                       # (nseg, n, *chans)
+        # strided-reshape framing (no gather)
+        q = -(-n // hop)
+        need = (nseg + q) * hop
+        xp = xcat if xcat.shape[0] >= need else jnp.pad(
+            xcat, [(0, need - xcat.shape[0])] + [(0, 0)] * (xcat.ndim - 1))
+        parts = [xp[j * hop: (nseg + j) * hop]
+                 .reshape((nseg, hop) + xcat.shape[1:]) for j in range(q)]
+        frames = jnp.concatenate(parts, axis=1)[:, :n]  # (nseg, n, *chans)
         wshape = (1, n) + (1,) * (xcat.ndim - 1)
         F = jnp.fft.rfft(frames * win.reshape(wshape), axis=1)
         p = jnp.abs(F) ** 2
