@@ -29,7 +29,15 @@ import jax.numpy as jnp
 from .design import resample_filter
 
 __all__ = ["FIRFilter", "taps2pfb", "outputlength", "inputlength",
-           "timedelay", "setphase", "resample", "polyphase_filt"]
+           "timedelay", "setphase", "resample", "polyphase_filt",
+           "USE_PALLAS"]
+
+# Opt-in Pallas TPU kernel for the block-polyphase path (vector input):
+# fuses the overlapped framing into VMEM instead of materializing the
+# frame matrix in HBM (kernels/pfb.py). Off by default; set
+# dsptpu.filters.stream_filt.USE_PALLAS = True or DSPTPU_PALLAS=1.
+import os as _os
+USE_PALLAS = _os.environ.get("DSPTPU_PALLAS", "0") == "1"
 
 
 def taps2pfb(h, nphi):
@@ -533,7 +541,13 @@ class FIRFilter:
                 G, s0, B, M, W, out_len = self._block_args(xlen)
                 Gd = jnp.asarray(G, x.dtype if not jnp.iscomplexobj(x)
                                  else np.float64)
-                y = _block_matmul(xcat, Gd, s0, B, M, W, out_len)
+                if USE_PALLAS and x.ndim == 1 \
+                        and not jnp.iscomplexobj(x):
+                    from ..kernels.pfb import pfb_block_filt_pallas
+                    y = pfb_block_filt_pallas(xcat, Gd, s0=s0, B=B, M=M,
+                                              W=W)[:out_len]
+                else:
+                    y = _block_matmul(xcat, Gd, s0, B, M, W, out_len)
             else:
                 y = jnp.zeros((0,) + x.shape[1:], x.dtype)
         k.commit(xlen, out_len)
