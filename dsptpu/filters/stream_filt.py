@@ -29,8 +29,7 @@ import jax.numpy as jnp
 from .design import resample_filter
 
 __all__ = ["FIRFilter", "taps2pfb", "outputlength", "inputlength",
-           "timedelay", "setphase", "resample", "polyphase_filt",
-           "USE_PALLAS"]
+           "resample", "polyphase_filt", "USE_PALLAS"]
 
 # Opt-in Pallas TPU kernel for the block-polyphase path (vector input):
 # fuses the overlapped framing into VMEM instead of materializing the

@@ -133,6 +133,37 @@ def _filt_iir(b, a, x, si=None):
     if not (jnp.issubdtype(dtype, jnp.floating)
             or jnp.issubdtype(dtype, jnp.complexfloating)):
         dtype = jnp.result_type(dtype, jnp.float32)
+    # Fast path: concrete real *stable* coefficients run through the
+    # blocked parallel recurrence (host-precomputed power tables,
+    # filters/filt.py) instead of the sequential per-sample scan.
+    # Unstable denominators (e.g. deconv's polynomial division) keep
+    # the sequential form: their transition powers overflow.
+    fast = None
+    try:
+        bh = np.asarray(b, dtype=np.float64)
+        ah = np.asarray(a, dtype=np.float64)
+        if sz > 0 and not (np.iscomplexobj(b) or np.iscomplexobj(a)):
+            roots = np.roots(ah / ah[0]) if len(ah) > 1 else np.zeros(0)
+            if len(roots) == 0 or np.max(np.abs(roots)) < 1.0 - 1e-9:
+                fast = (bh, ah)
+    except Exception:  # traced coefficients -> sequential path
+        fast = None
+    if fast is not None:
+        from ..filters.filt import _affine_apply
+        bh, ah = fast
+        scale = ah[0]
+        bp = np.zeros(sz + 1)
+        bp[: len(bh)] = bh / scale
+        ap = np.zeros(sz + 1)
+        ap[: len(ah)] = ah / scale
+        flat, restore = _flatten_channels(x.astype(dtype))
+        z0 = (jnp.zeros((sz, flat.shape[1]), dtype) if si is None
+              else jnp.asarray(si, dtype).reshape(sz, flat.shape[1]))
+        y, zf = _affine_apply(bp, ap, flat, z0)
+        y = restore(y)
+        if si is not None:
+            return y, zf.reshape((sz,) + x.shape[1:])
+        return y
     a = a.astype(dtype)
     b = b.astype(dtype)
     b = b / a[0]
