@@ -277,12 +277,19 @@ def as_biquad(f):
     b, a = pr.b, pr.a
     if max(len(b), len(a)) > 3:
         raise ValueError("cannot convert a filter of length > 3 to Biquad")
-    if pr.domain == "s":
-        raise ValueError("Biquad conversion implemented for z domain")
     b3 = np.zeros(3)
-    b3[: len(b)] = b
     a3 = np.zeros(3)
-    a3[: len(a)] = a
+    if pr.domain == "s":
+        # s-domain: highest power (s^2) first, align at the back
+        # (reference Biquad{:s}, coefficients.jl:235-283)
+        b3[3 - len(b):] = b
+        a3[3 - len(a):] = a
+        if a3[0] == 0:
+            raise ValueError(
+                "s-domain Biquad requires a degree-2 denominator")
+    else:
+        b3[: len(b)] = b
+        a3[: len(a)] = a
     if a3[0] != 1.0:
         b3 = b3 / a3[0]
         a3 = a3 / a3[0]
