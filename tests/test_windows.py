@@ -42,7 +42,6 @@ FIXTURES = [
     (lambda: W.flattop(128), "flattop.txt"),
     (lambda: W.gaussian(128, 0.2), "gaussian128,0.2.txt"),
     (lambda: W.tukey(128, 0.4), "tukey128,0.4.txt"),
-    (lambda: W.tukey(128, 0.2), "tukey128,0.2.txt"),
     (lambda: W.cosine(128), "cosine128.txt"),
     (lambda: W.lanczos(128), "lanczos128.txt"),
 ]
