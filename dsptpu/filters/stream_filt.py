@@ -100,14 +100,30 @@ def _pfb_dot(xcat, pfb_t, end_idx, phi_idx, winlen):
 @partial(jax.jit, static_argnums=(6,))
 def _pfb_dot_arb(xcat, pfb_t, dpfb_t, end_idx, phi_idx, alpha, winlen):
     """Arbitrary-rate: linear interpolation between a phase filter and
-    its derivative bank (reference stream_filt.jl:579-625)."""
-    win = _gather_windows(xcat, end_idx, winlen)
-    extra = (1,) * (win.ndim - 2)
-    cols = pfb_t[phi_idx].reshape(phi_idx.shape + (winlen,) + extra)
-    dcols = dpfb_t[phi_idx].reshape(phi_idx.shape + (winlen,) + extra)
-    y_lo = jnp.sum(win * cols.astype(win.dtype), axis=1)
-    y_hi = jnp.sum(win * dcols.astype(win.dtype), axis=1)
-    return y_lo + alpha.reshape(alpha.shape + extra).astype(win.dtype) * y_hi
+    its derivative bank (reference stream_filt.jl:579-625).
+
+    TPU form: instead of gathering a (out_len, taps) window matrix,
+    compute ALL (position, phase) filter outputs as one im2col matmul
+    on the MXU — frames come from `winlen` shifted slices, not a
+    gather — then pick each output's (x_idx, phi) element with a
+    single-element gather. The Nphi-fold FLOP overcount is free on the
+    MXU; the gather volume drops by the tap count."""
+    n = xcat.shape[0]
+    nw = n - winlen + 1  # windows ending at winlen-1 .. n-1
+    frames = jnp.stack([xcat[t: t + nw] for t in range(winlen)], axis=1)
+    # (nw, winlen, *chans); banks are (nphi, winlen)
+    both = jnp.concatenate([pfb_t, dpfb_t], axis=0).astype(frames.dtype)
+    if frames.ndim == 2:
+        allout = frames @ both.T                       # (nw, 2*nphi)
+    else:
+        allout = jnp.einsum("nw...,pw->np...", frames, both)
+    nphi = pfb_t.shape[0]
+    flat = (end_idx - (winlen - 1)) * (2 * nphi) + phi_idx
+    a2 = allout.reshape((nw * 2 * nphi,) + allout.shape[2:])
+    y_lo = a2[flat]
+    y_hi = a2[flat + nphi]
+    extra = (1,) * (y_lo.ndim - 1)
+    return y_lo + alpha.reshape(alpha.shape + extra).astype(y_lo.dtype) * y_hi
 
 
 # ---------------------------------------------------------------------------
@@ -518,13 +534,29 @@ class FIRFilter:
         xcat = jnp.concatenate([self.history, x], axis=0) \
             if self.history_len else x
         if isinstance(k, FIRArbitrary):
-            head, alpha, out_len = k.plan(xlen)
+            # cache the (host-exact) per-output index arrays on device:
+            # streaming with a fixed chunk size re-plans identically,
+            # and the upload (not the compute) dominates over a
+            # tunneled TPU connection
+            key = (xlen, k.input_deficit, k.phi_accumulator)
+            cache = getattr(k, "_plan_cache", None)
+            if cache is None or cache[0] != key:
+                head, alpha, out_len = k.plan(xlen)
+                if out_len:
+                    x_idx, phi_idx = head[0], head[1]
+                    end0 = self.history_len + x_idx - 1  # 0-based in xcat
+                    adt = (x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
+                           else np.float32)
+                    dev = (jnp.asarray(end0.astype(np.int32)),
+                           jnp.asarray(phi_idx.astype(np.int32)),
+                           jnp.asarray(alpha, dtype=adt))
+                else:
+                    dev = None
+                cache = k._plan_cache = (key, dev, out_len)
+            _, dev, out_len = cache
             if out_len:
-                x_idx, phi_idx = head[0], head[1]
-                end0 = self.history_len + x_idx - 1  # 0-based into xcat
                 y = _pfb_dot_arb(xcat, k.pfb_t, k.dpfb_t,
-                                 jnp.asarray(end0), jnp.asarray(phi_idx),
-                                 jnp.asarray(alpha), k.taps_per_phi)
+                                 dev[0], dev[1], dev[2], k.taps_per_phi)
             else:
                 y = jnp.zeros((0,) + x.shape[1:], x.dtype)
         elif isinstance(k, FIRStandard):
