@@ -27,20 +27,25 @@ def _log(*a):
 _LATENCY = 0.0
 
 
-def _timeit(fn, *args, reps=3, warmup=1):
-    """Times fn via a scalar host readback: on a tunneled TPU,
+def _timeit(fn, *args, reps=3, warmup=1, k=8):
+    """Times fn via a scalar host readback. On a tunneled TPU,
     block_until_ready can return before the computation completes, so
-    every timed function is wrapped to reduce its outputs to a scalar
-    inside jit and we sync on float(). The measured per-call dispatch
-    latency (_LATENCY, from a trivial kernel) is subtracted."""
+    we sync with a one-element host read; and a single call is
+    dominated by the ~50 ms dispatch+readback latency, so each
+    measurement dispatches `k` back-to-back calls (device executes
+    in-order) with one final sync and amortizes the latency."""
     for _ in range(warmup):
         _sync(fn(*args))
     best = math.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        _sync(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return max(best - _LATENCY, 1e-9)
+        r = None
+        for _ in range(k):
+            r = fn(*args)
+        _sync(r)
+        t = (time.perf_counter() - t0 - _LATENCY) / k
+        best = min(best, t)
+    return max(best, 50e-6)
 
 
 def _sync(r):
@@ -90,8 +95,10 @@ def main():
     results = {}
     ratios = {}
 
+    HBM_BW = 819e9  # TPU v5e HBM bandwidth, bytes/s
+
     def bench_pair(name, nsamples, dev_fn, dev_args, cpu_fn, cpu_args,
-                   cpu_frac=8):
+                   cpu_frac=8, min_bytes=None):
         t_dev = _timeit(dev_fn, *dev_args)
         sps = nsamples / t_dev
         # scipy baseline on 1/cpu_frac of the data, extrapolated
@@ -100,7 +107,14 @@ def main():
         t_cpu = (time.perf_counter() - t0) * cpu_frac
         results[name] = sps
         ratios[name] = sps / (nsamples / t_cpu)
-        _log(f"{name}: {sps/1e6:.1f} MS/s  (vs scipy x{ratios[name]:.1f})")
+        roof = ""
+        if min_bytes is not None and on_tpu:
+            # fraction of the HBM-bandwidth roofline, using the
+            # minimum possible traffic (read input + write output)
+            frac = (min_bytes / t_dev) / HBM_BW
+            roof = f", {100*frac:.0f}% of HBM roofline"
+        _log(f"{name}: {sps/1e6:.1f} MS/s  (vs scipy x{ratios[name]:.1f}"
+             f"{roof})")
 
     # -- config 1: 127-tap FIR, 1M samples, single channel ------------------
     n = 10_000_000 // scale
@@ -110,7 +124,8 @@ def main():
     xj, hj = jnp.asarray(x), jnp.asarray(h)
     fir = jax.jit(lambda b, s: dsptpu.filt(b, s))
     bench_pair("fir_127tap", n, fir, (hj, xj),
-               lambda: sp.lfilter(h, [1.0], x[: n // 8]), (), 8)
+               lambda: sp.lfilter(h, [1.0], x[: n // 8]), (), 8,
+               min_bytes=2 * 4 * n)
 
     # -- config 2: overlap-save 4096-tap FIR, 16ch x 10M --------------------
     nch, n2 = 16, 10_000_000 // (scale * 4 if not on_tpu else 1)
@@ -120,7 +135,8 @@ def main():
     osf = jax.jit(lambda b, s: dsptpu.fftfilt(b, s))
     bench_pair("os_4096tap_16ch", n2 * nch, osf, (h2j, x2j),
                lambda: sp.oaconvolve(x2[: n2 // 16], h2[:, None],
-                                     axes=0), (), 16)
+                                     axes=0), (), 16,
+               min_bytes=2 * 4 * n2 * nch)
 
     # -- config 3: welch + spectrogram, nfft=1024, 50% ovl, 64ch ------------
     nch3, n3 = 64, 1_000_000 // scale
@@ -135,7 +151,8 @@ def main():
     welch_j = jax.jit(welch_dev)
     bench_pair("welch_1024_64ch", n3 * nch3, welch_j, (x3j,),
                lambda: sp.welch(x3[: n3 // 8], axis=0, nperseg=1024,
-                                noverlap=512, window=win), (), 8)
+                                noverlap=512, window=win), (), 8,
+               min_bytes=4 * n3 * nch3)
 
     # -- config 4: polyphase rational resample 147//160 ---------------------
     n4 = 10_000_000 // scale
@@ -150,7 +167,8 @@ def main():
         return sf.filt(xc)
 
     bench_pair("resample_147_160", n4, poly_dev, (x4j,),
-               lambda: sp.resample_poly(x4[: n4 // 8], 147, 160), (), 8)
+               lambda: sp.resample_poly(x4[: n4 // 8], 147, 160), (), 8,
+               min_bytes=int(4 * n4 * (1 + 147 / 160)))
 
     # -- config 5: IIR filtfilt, 8th-order butterworth SOS ------------------
     n5 = 1_000_000 // scale
@@ -164,7 +182,8 @@ def main():
     x5j = jnp.asarray(x5)
     ff = jax.jit(lambda s: dsptpu.filtfilt(f5, s))
     bench_pair("filtfilt_sos8", n5, ff, (x5j,),
-               lambda: sp.sosfiltfilt(sos_sp, x5[: n5 // 8]), (), 8)
+               lambda: sp.sosfiltfilt(sos_sp, x5[: n5 // 8]), (), 8,
+               min_bytes=4 * 4 * n5)
 
     # -- headline ------------------------------------------------------------
     geo = math.exp(sum(math.log(v) for v in results.values())
