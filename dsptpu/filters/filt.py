@@ -137,7 +137,8 @@ def _affine_apply(bp, ap, x, z0):
         u = jnp.pad(u, ((0, 0), (0, npad), (0, 0)))
     U = u.reshape(C * B, S * p)
     W = jnp.dot(U, jnp.asarray(T2.T).astype(dtype),
-                preferred_element_type=dtype)            # (C*B, S*p)
+                preferred_element_type=dtype,
+                precision=lax.Precision.HIGHEST)         # (C*B, S*p)
     Wl = W.reshape(C, B, S, p)
 
     # cross-block boundary states: zs_{k+1} = M^S zs_k + W[k, -1]
@@ -150,7 +151,7 @@ def _affine_apply(bp, ap, x, z0):
 
     # reconstruct z_{k,s} = M^{s+1} zin_k + W[k, s]
     z = jnp.einsum("sab,kbc->cksa", jnp.asarray(P1).astype(dtype),
-                   zin) + Wl
+                   zin, precision=lax.Precision.HIGHEST) + Wl
     zflat = z.reshape(C, B * S, p)[:, :n]
 
     z1 = zflat[:, :, 0]                                  # (C, n)

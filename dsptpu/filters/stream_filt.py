@@ -82,7 +82,8 @@ def _block_matmul(xcat, G, s0, B, M, W, out_len):
     parts = [xc[..., s0 + j * M: s0 + (B + j) * M]
              .reshape(xc.shape[:-1] + (B, M)) for j in range(q + 1)]
     frames = jnp.concatenate(parts, axis=-1)[..., :W]
-    y = jnp.einsum("...bw,wl->...bl", frames, G.astype(frames.dtype))
+    y = jnp.einsum("...bw,wl->...bl", frames, G.astype(frames.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
     y = y.reshape(xc.shape[:-1] + (B * L,))[..., :out_len]
     return jnp.moveaxis(y, -1, 0)
 
@@ -114,9 +115,11 @@ def _pfb_dot_arb(xcat, pfb_t, dpfb_t, end_idx, phi_idx, alpha, winlen):
     # (nw, winlen, *chans); banks are (nphi, winlen)
     both = jnp.concatenate([pfb_t, dpfb_t], axis=0).astype(frames.dtype)
     if frames.ndim == 2:
-        allout = frames @ both.T                       # (nw, 2*nphi)
+        allout = jnp.dot(frames, both.T,
+                         precision=jax.lax.Precision.HIGHEST)
     else:
-        allout = jnp.einsum("nw...,pw->np...", frames, both)
+        allout = jnp.einsum("nw...,pw->np...", frames, both,
+                            precision=jax.lax.Precision.HIGHEST)
     nphi = pfb_t.shape[0]
     flat = (end_idx - (winlen - 1)) * (2 * nphi) + phi_idx
     a2 = allout.reshape((nw * 2 * nphi,) + allout.shape[2:])

@@ -52,7 +52,8 @@ def _kernel(x_hbm, g_ref, o_ref, scratch, sem, *, TB, Mp, L, q, qp,
     for j in range(q + 1):
         acc = acc + jnp.dot(scratch[j: TB + j, :],
                             g_ref[j * Mp:(j + 1) * Mp, :],
-                            preferred_element_type=o_ref.dtype)
+                            preferred_element_type=o_ref.dtype,
+                            precision=jax.lax.Precision.HIGHEST)
     o_ref[0, 0] = acc
 
 

@@ -34,10 +34,12 @@ __all__ = ["filt", "conv", "deconv", "xcorr", "optimal_os_nfft"]
 # makes direct conv relatively cheaper, so the crossover is higher).
 _CONV_DIRECT_CUTOFF = 1 << 18
 
-# FIR tap count above which filt() switches from the direct MXU
-# convolution to batched overlap-save (reference SMALL_FILT_CUTOFF = 66,
-# dspbase.jl:3; higher here because the MXU amortizes direct conv well).
-_FIR_OS_CUTOFF = 64
+# FIR tap count above which filt() switches from the block-Toeplitz
+# MXU matmul to batched overlap-save FFTs. Measured crossover on TPU
+# v5e (the matmul hits ~40x the XLA-FFT path at 127 taps; FFT wins for
+# long filters where the Toeplitz FLOP count ~2*n*(T+nb) explodes).
+# Reference analogue: SMALL_FILT_CUTOFF = 66, dspbase.jl:3.
+_FIR_OS_CUTOFF = 512
 
 
 def _as_1d(c, name):
@@ -83,6 +85,26 @@ def _fir_causal(b, x):
     return out[:, 0, :].T
 
 
+def _fir_block_toeplitz(b, x):
+    """Causal FIR as a block-Toeplitz matmul: outputs in blocks of T,
+    block b multiplying the (T + nb - 1, T) banded tap matrix against
+    its input window (frames from strided reshapes via the shared
+    block-matmul kernel). ~40x the XLA-FFT overlap-save path for
+    short/medium taps on TPU v5e. x: (n, C) real."""
+    from ..filters.stream_filt import _block_matmul
+    nb = b.shape[0]
+    n, C = x.shape
+    T = min(512, max(128, -(-2 * nb // 128) * 128))
+    W = T + nb - 1
+    d = np.arange(W)[:, None] - np.arange(T)[None, :]
+    mask = jnp.asarray((d >= 0) & (d < nb))
+    G = jnp.where(mask, jnp.flip(b)[jnp.asarray(np.clip(d, 0, nb - 1))],
+                  0).astype(x.dtype)
+    xcat = jnp.concatenate([jnp.zeros((nb - 1, C), x.dtype), x], axis=0)
+    B = -(-n // T)
+    return _block_matmul(xcat, G, 0, B, T, W, n)
+
+
 # ---------------------------------------------------------------------------
 # filt
 # ---------------------------------------------------------------------------
@@ -113,13 +135,15 @@ def filt(b, a, x=None, si=None):
         if si is None:
             flat, restore = _flatten_channels(x)
             nb, n = b.shape[0], flat.shape[0]
-            # long taps: overlap-save beats the direct MXU conv
-            # (crossover after reference Filters/filt.jl:544-550, raised
-            # for the MXU; see _FIR_OS_CUTOFF)
-            if (nb > _FIR_OS_CUTOFF and n > nb
-                    and jnp.issubdtype(jnp.result_type(b.dtype, flat.dtype),
-                                       jnp.inexact)):
+            inexact = jnp.issubdtype(jnp.result_type(b.dtype, flat.dtype),
+                                     jnp.inexact)
+            cplx = jnp.iscomplexobj(flat) or jnp.iscomplexobj(b)
+            if inexact and nb > _FIR_OS_CUTOFF and n > nb:
+                # long taps: batched overlap-save FFTs
                 return restore(_conv_os_1d(flat, b)[:n])
+            if inexact and not cplx and 1 < nb and n >= 4 * nb:
+                # short/medium taps: block-Toeplitz matmul on the MXU
+                return restore(_fir_block_toeplitz(b, flat))
             return restore(_fir_causal(b, flat))
         a = jnp.ones((1,), b.dtype)
 
