@@ -28,7 +28,9 @@ from .ops.periodograms import (arraysplit, periodogram, welch_pgram,
                                spectrogram, stft, WelchConfig, Periodogram,
                                Periodogram2, Spectrogram, power, freq,
                                tfr_time, fftshift_tfr)
-from .ops.multitaper import (MTConfig, dpss_config, mt_pgram, mt_spectrogram,
+from .ops.multitaper import (MTConfig, MTSpectrogramConfig,
+                         MTCrossSpectraConfig, MTCoherenceConfig,
+                         dpss_config, mt_pgram, mt_spectrogram,
                              mt_cross_power_spectra, mt_coherence,
                              coherence_from_cs)
 from .ops.lpc import lpc, arburg, levinson

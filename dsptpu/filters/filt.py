@@ -39,6 +39,22 @@ __all__ = ["filt", "sosfilt", "DF2TFilter", "filtfilt", "fftfilt",
 # ---------------------------------------------------------------------------
 # parallel affine linear recurrence
 # ---------------------------------------------------------------------------
+#
+# Two layers:
+#   * _affine_rec — solve z_b = A z_{b-1} + U_b over a (C, B, p) batch of
+#     injected vectors with the blocked Toeplitz-of-powers matmul + an
+#     associative scan over block boundary states only.
+#   * _blockss_apply — the block state-space form of an LTI filter
+#     y_t = d x_t + w'z_{t-1}; z_t = A z_{t-1} + c x_t. Samples are
+#     grouped into blocks of V; within a block the output is the
+#     lower-triangular Toeplitz matmul of the exact impulse response
+#     (F), the block's effect on the state is a (p, V) matmul (K), and
+#     the carried state enters through a (V, p) matmul (G). All tables
+#     are host float64 design-time constants; the boundary chain over
+#     n/V block states runs through _affine_rec. Device FLOPs are
+#     ~2V + 4p per sample, all MXU-shaped — this replaces the per-
+#     section sequential composition (reference filt.jl:39-49) with ONE
+#     pass even for a whole SOS cascade (stacked 2*nsec state).
 
 def _affine_scan(M, u, z0):
     """Solve z_t = M @ z_{t-1} + u_t, t = 1..n, as an associative scan.
@@ -60,104 +76,226 @@ def _affine_scan(M, u, z0):
     return z
 
 
-def _affine_tables(bp_key, ap_key, S):
-    """Host numpy float64 tables for the blocked recurrence of the
-    companion transition M (p x p) of a normalized (a0 == 1) filter.
+_REC_BLOCK = 128
+_rec_tables_cache = {}
 
-    Returns (c, M, T2, MS, P1) where c is the DF2T input-injection
-    vector, T2 the (S*p, S*p) lower-triangular Toeplitz-of-powers
-    matrix with T2[s*p+a, i*p+b] = (M^{s-i})[a, b] for i <= s, MS = M^S,
-    and P1 = stacked powers M^1..M^S as (S, p, p)."""
-    bp = np.asarray(bp_key, dtype=np.float64)
-    ap = np.asarray(ap_key, dtype=np.float64)
+
+def _rec_tables(A_np, S):
+    """Host float64 tables for the blocked vector recurrence with
+    transition A (p x p): T2 the (S*p, S*p) lower-triangular
+    Toeplitz-of-powers matrix with T2[s*p+a, i*p+b] = (A^{s-i})[a, b]
+    for i <= s, AS = A^S, P1 = stacked powers A^1..A^S as (S, p, p)."""
+    key = (A_np.tobytes(), A_np.shape[0], S)
+    hit = _rec_tables_cache.get(key)
+    if hit is not None:
+        return hit
+    p = A_np.shape[0]
+    powers = np.empty((S + 1, p, p))
+    powers[0] = np.eye(p)
+    for k in range(S):
+        powers[k + 1] = A_np @ powers[k]
+    diff = np.arange(S)[:, None] - np.arange(S)[None, :]
+    T = np.where((diff >= 0)[:, :, None, None],
+                 powers[np.clip(diff, 0, S)], 0.0)   # (S, S, p, p)
+    T2 = T.transpose(0, 2, 1, 3).reshape(S * p, S * p)
+    hit = (T2, powers[S], powers[1: S + 1])
+    if len(_rec_tables_cache) > 256:
+        _rec_tables_cache.clear()
+    _rec_tables_cache[key] = hit
+    return hit
+
+
+def _affine_rec(A_np, U, z0):
+    """Solve z_b = A z_{b-1} + U_b, b = 0..B-1, z_{-1} = z0.
+
+    A_np: host (p, p) float64 transition; U: (C, B, p) device injected
+    vectors; z0: (p, C). Returns Z (C, B, p), the state AFTER each
+    step. Work: one (C*Bo, S*p) @ (S*p, S*p) matmul for within-block
+    prefixes, an O(log(B/S))-depth associative scan over boundary
+    states, and a (S, p, p) reconstruct einsum."""
+    dtype = U.dtype
+    C, B, p = U.shape
+    S = min(_REC_BLOCK, max(8, B))
+    T2, AS, P1 = _rec_tables(A_np, S)
+    U = U.at[:, 0].add((jnp.asarray(A_np).astype(dtype) @ z0).T)
+
+    Bo = -(-B // S)
+    npad = Bo * S - B
+    if npad:
+        U = jnp.pad(U, ((0, 0), (0, npad), (0, 0)))
+    W = jnp.dot(U.reshape(C * Bo, S * p), jnp.asarray(T2.T).astype(dtype),
+                preferred_element_type=dtype,
+                precision=lax.Precision.HIGHEST)         # (C*Bo, S*p)
+    Wl = W.reshape(C, Bo, S, p)
+
+    # cross-block boundary states: zs_{k+1} = A^S zs_k + W[k, -1]
+    zin = jnp.zeros((1, p, C), dtype)
+    if Bo > 1:
+        v = jnp.moveaxis(Wl[:, :-1, -1], 0, -1)          # (Bo-1, p, C)
+        zs = _affine_scan(jnp.asarray(AS).astype(dtype), v,
+                          jnp.zeros((p, C), dtype))      # (Bo-1, p, C)
+        zin = jnp.concatenate([zin, zs], axis=0)         # (Bo, p, C)
+
+    # reconstruct z_{k,s} = A^{s+1} zin_k + W[k, s]
+    Z = jnp.einsum("sab,kbc->cksa", jnp.asarray(P1).astype(dtype),
+                   zin, precision=lax.Precision.HIGHEST) + Wl
+    return Z.reshape(C, Bo * S, p)[:, :B]
+
+
+# ---------------------------------------------------------------------------
+# block state-space LTI application
+# ---------------------------------------------------------------------------
+
+_BLOCKSS_V = 128
+_blockss_tables_cache = {}
+
+
+class _BlockSS:
+    """Host-precomputed block state-space tables of one LTI system
+    y_t = d x_t + w'z_{t-1}; z_t = A z_{t-1} + c x_t, blocked over V
+    samples. All float64 numpy; see _blockss_apply."""
+
+    __slots__ = ("V", "p", "A", "c", "F", "G", "K", "AV", "powers")
+
+    def __init__(self, A, c, w, d, V):
+        p = A.shape[0]
+        powers = np.empty((V + 1, p, p))
+        powers[0] = np.eye(p)
+        for k in range(V):
+            powers[k + 1] = A @ powers[k]
+        h = np.empty(V)
+        h[0] = d
+        if V > 1:
+            # h[v] = w' A^{v-1} c, v >= 1
+            h[1:] = (powers[: V - 1] @ c) @ w
+        i = np.arange(V)
+        dij = i[:, None] - i[None, :]
+        F = np.where(dij >= 0, h[np.clip(dij, 0, V - 1)], 0.0)  # (V, V)
+        G = powers[:V] .transpose(0, 2, 1) @ w                  # (V, p)
+        K = (powers[V - 1::-1] @ c).T                           # (p, V)
+        self.V, self.p = V, p
+        self.A, self.c = A, c
+        self.F, self.G, self.K, self.AV = F, G, K, powers[V]
+        self.powers = powers
+
+
+def _blockss(A, c, w, d, V=None):
+    V = _BLOCKSS_V if V is None else V
+    key = (A.tobytes(), c.tobytes(), w.tobytes(), float(d), A.shape[0], V)
+    hit = _blockss_tables_cache.get(key)
+    if hit is None:
+        hit = _BlockSS(A, c, w, d, V)
+        if len(_blockss_tables_cache) > 256:
+            _blockss_tables_cache.clear()
+        _blockss_tables_cache[key] = hit
+    return hit
+
+
+def _blockss_apply(ss, x, z0, need_state=True):
+    """Apply the block state-space system over x (n, C) with initial
+    state z0 (p, C); returns (y (n, C), z_final (p, C) or None).
+
+    Device work: three MXU matmuls per block batch — the exact
+    impulse-response Toeplitz F (V, V), the input-to-state map K
+    (p, V), the state-to-output map G (V, p) — plus the boundary-state
+    recurrence over n/V block states (_affine_rec). One pass covers a
+    whole SOS cascade via the stacked 2*nsec state (_stack_cascade);
+    replaces the reference's per-sample per-section loop
+    (filt.jl:39-49) at ~2V+4p FLOPs/sample of MXU-shaped work."""
+    dtype = x.dtype
+    n, C = x.shape
+    V, p = ss.V, ss.p
+    B = -(-n // V)
+    npad = B * V - n
+    xT = x.T                                             # (C, n)
+    if npad:
+        xT = jnp.pad(xT, ((0, 0), (0, npad)))
+    X = xT.reshape(C * B, V)
+    prec = lax.Precision.HIGHEST
+    Ylocal = jnp.dot(X, jnp.asarray(ss.F.T).astype(dtype),
+                     preferred_element_type=dtype, precision=prec)
+    Zinc = jnp.dot(X, jnp.asarray(ss.K.T).astype(dtype),
+                   preferred_element_type=dtype, precision=prec)
+    Z = _affine_rec(ss.AV, Zinc.reshape(C, B, p), z0)    # (C, B, p)
+    Zstart = jnp.concatenate([z0.T[:, None, :], Z[:, :-1]], axis=1)
+    Y = Ylocal.reshape(C, B, V) + jnp.einsum(
+        "cbp,vp->cbv", Zstart, jnp.asarray(ss.G).astype(dtype),
+        precision=prec)
+    y = Y.reshape(C, B * V)[:, :n].T
+    if not need_state:
+        return y, None
+    if npad == 0:
+        zf = Z[:, -1].T                                  # (p, C)
+    else:
+        # state at the true last sample: index v = V-npad-1 in the last
+        # (zero-padded) block
+        v = V - npad - 1
+        Kp = np.zeros((ss.p, V))
+        Kp[:, : v + 1] = (ss.powers[v::-1] @ ss.c).T
+        xlast = xT.reshape(C, B, V)[:, -1]               # (C, V)
+        zf = (jnp.einsum("ab,cb->ac", jnp.asarray(
+            ss.powers[v + 1]).astype(dtype), Zstart[:, -1],
+            precision=prec)
+            + jnp.dot(xlast, jnp.asarray(Kp.T).astype(dtype),
+                      preferred_element_type=dtype, precision=prec).T)
+    return y, zf
+
+
+def _single_ss(bp, ap):
+    """(A, c, w, d) DF2T realization of one normalized section:
+    y = b0 x + z1_prev; z = M z_prev + c x."""
+    bp = np.asarray(bp, dtype=np.float64)
+    ap = np.asarray(ap, dtype=np.float64)
     p = len(ap) - 1
     M = np.zeros((p, p))
     M[:, 0] = -ap[1:]
     if p > 1:
         M += np.eye(p, k=1)
     c = bp[1:] - ap[1:] * bp[0]
-    powers = np.empty((S + 1, p, p))
-    powers[0] = np.eye(p)
-    for k in range(S):
-        powers[k + 1] = M @ powers[k]
-    diff = np.arange(S)[:, None] - np.arange(S)[None, :]
-    T = np.where((diff >= 0)[:, :, None, None],
-                 powers[np.clip(diff, 0, S)], 0.0)   # (S, S, p, p)
-    T2 = T.transpose(0, 2, 1, 3).reshape(S * p, S * p)
-    return c, M, T2, powers[S], powers[1: S + 1]
+    w = np.zeros(p)
+    w[0] = 1.0
+    return M, c, w, float(bp[0])
 
 
-_affine_tables_cache = {}
+def _stack_cascade(sos, g=1.0):
+    """Stacked state-space of a biquad cascade followed by gain g.
 
-
-def _affine_tables_cached(bp, ap, S):
-    key = (tuple(np.asarray(bp, dtype=np.float64).tolist()),
-           tuple(np.asarray(ap, dtype=np.float64).tolist()), S)
-    hit = _affine_tables_cache.get(key)
-    if hit is None:
-        hit = _affine_tables(key[0], key[1], S)
-        if len(_affine_tables_cache) > 256:
-            _affine_tables_cache.clear()
-        _affine_tables_cache[key] = hit
-    return hit
-
-
-_AFFINE_BLOCK = 128
+    Section k (DF2T): s^k_t = M_k s^k_{t-1} + c_k u^k_t with input
+    u^k = previous section's output, u^{k+1} = b0_k u^k + e1's^k_{t-1}.
+    Eliminating the chain gives one (2K, 2K) block-lower-triangular
+    transition whose state vector is the per-section states stacked in
+    order — so streaming si (2, nsec) maps losslessly to/from the
+    stacked z. Host float64 only (reference semantics filt.jl:35-65)."""
+    sos = np.asarray(sos, dtype=np.float64).reshape(-1, 5)
+    K = sos.shape[0]
+    p = 2 * K
+    A = np.zeros((p, p))
+    cvec = np.zeros(p)
+    # w_k maps the stacked state to section k's *input* u^k_t's state
+    # contribution; d_k the direct x -> u^k gain
+    wk = np.zeros(p)
+    dk = 1.0
+    for k in range(K):
+        b0, b1, b2, a1, a2 = sos[k]
+        Mk = np.array([[-a1, 1.0], [-a2, 0.0]])
+        ck = np.array([b1 - a1 * b0, b2 - a2 * b0])
+        sl = slice(2 * k, 2 * k + 2)
+        A[sl, sl] = Mk
+        A[sl, :] += np.outer(ck, wk)
+        cvec[sl] = ck * dk
+        # u^{k+1} = b0 u^k + e1's^k
+        wk = b0 * wk
+        wk[2 * k] += 1.0
+        dk = b0 * dk
+    return A, cvec, g * wk, g * dk
 
 
 def _affine_apply(bp, ap, x, z0):
-    """Transposed DF-II of a normalized filter over x (n, C) with
-    initial state z0 (p, C); returns (y, z_final).
-
-    bp/ap are host numpy coefficient vectors (equal length p+1,
-    a[0] == 1) — design-time constants per the architecture — so the
-    blocked-recurrence tables are computed on host (no traced power
-    chains for XLA to constant-fold). Device work per block batch: one
-    (S*p, S*p) matmul for within-block prefix states, an associative
-    scan over the n/S block boundary states, and a rank-1 reconstruct.
-    Replaces the reference's sequential loop (dspbase.jl:69-92,
-    Filters/filt.jl:39-49)."""
-    dtype = x.dtype
-    n, C = x.shape
-    p = len(ap) - 1
-    S = _AFFINE_BLOCK
-    c, M, T2, MS, P1 = _affine_tables_cached(bp, ap, S)
-    b0 = jnp.asarray(np.float64(bp[0])).astype(dtype)
-
-    # channels ride the leading batch dim; the only big contraction is
-    # a clean (C*B, S*p) @ (S*p, S*p) matmul, so the tiny p never lands
-    # in the TPU lane axis
-    xT = x.T                                             # (C, n)
-    u = xT[:, :, None] * jnp.asarray(c).astype(dtype)    # (C, n, p)
-    u = u.at[:, 0].add((jnp.asarray(M).astype(dtype) @ z0).T)
-
-    B = -(-n // S)
-    npad = B * S - n
-    if npad:
-        u = jnp.pad(u, ((0, 0), (0, npad), (0, 0)))
-    U = u.reshape(C * B, S * p)
-    W = jnp.dot(U, jnp.asarray(T2.T).astype(dtype),
-                preferred_element_type=dtype,
-                precision=lax.Precision.HIGHEST)         # (C*B, S*p)
-    Wl = W.reshape(C, B, S, p)
-
-    # cross-block boundary states: zs_{k+1} = M^S zs_k + W[k, -1]
-    zin = jnp.zeros((1, p, C), dtype)
-    if B > 1:
-        v = jnp.moveaxis(Wl[:, :-1, -1], 0, -1)          # (B-1, p, C)
-        zs = _affine_scan(jnp.asarray(MS).astype(dtype), v,
-                          jnp.zeros((p, C), dtype))      # (B-1, p, C)
-        zin = jnp.concatenate([zin, zs], axis=0)         # (B, p, C)
-
-    # reconstruct z_{k,s} = M^{s+1} zin_k + W[k, s]
-    z = jnp.einsum("sab,kbc->cksa", jnp.asarray(P1).astype(dtype),
-                   zin, precision=lax.Precision.HIGHEST) + Wl
-    zflat = z.reshape(C, B * S, p)[:, :n]
-
-    z1 = zflat[:, :, 0]                                  # (C, n)
-    z_prev1 = jnp.concatenate([z0[0][:, None], z1[:, :-1]], axis=1)
-    y = (b0 * xT + z_prev1).T
-    return y, zflat[:, -1].T
+    """Transposed DF-II of a normalized (a[0]==1) filter over x (n, C)
+    with initial state z0 (p, C); returns (y, z_final). bp/ap are host
+    numpy design-time constants; see _blockss_apply."""
+    ss = _blockss(*_single_ss(bp, ap))
+    return _blockss_apply(ss, x, z0)
 
 
 def _biquad_apply(b0, b1, b2, a1, a2, x, z0):
@@ -200,7 +338,8 @@ def _sos_arrays(f):
 
 
 def _sosfilt(sos, g, x, si):
-    """Cascade over sections (static count); x (n, *chans),
+    """Biquad cascade as ONE stacked block state-space pass (the fused
+    form of reference filt.jl:35-65; see _stack_cascade). x (n, *chans),
     si (2, nsec, *chans). Returns (y, si_final)."""
     flat, restore = _flatten_channels(x)
     dtype = flat.dtype
@@ -209,15 +348,14 @@ def _sosfilt(sos, g, x, si):
         dtype = jnp.result_type(dtype, jnp.float32)
     flat = flat.astype(dtype)
     nsec = sos.shape[0]
-    si_flat = si.reshape(2, nsec, -1).astype(dtype)
-    y = flat
-    finals = []
     sos_np = np.asarray(sos, dtype=np.float64)
-    for k in range(nsec):
-        y, zf = _biquad_apply(*sos_np[k], y, si_flat[:, k])
-        finals.append(zf)
-    y = y * jnp.asarray(g, dtype)
-    si_final = jnp.stack(finals, axis=1).reshape((2, nsec) + x.shape[1:])
+    ss = _blockss(*_stack_cascade(sos_np, float(g)))
+    # stacked state rows ordered (z1_0, z2_0, z1_1, ...) <-> si (2, nsec, C)
+    z0 = si.reshape(2, nsec, -1).astype(dtype)
+    z0 = jnp.swapaxes(z0, 0, 1).reshape(2 * nsec, -1)
+    y, zf = _blockss_apply(ss, flat, z0)
+    si_final = jnp.swapaxes(zf.reshape(nsec, 2, -1), 0, 1).reshape(
+        (2, nsec) + x.shape[1:])
     return restore(y), si_final
 
 

@@ -276,9 +276,15 @@ def remez(numtaps, bands, desired=None, weight=None, Hz=1.0,
                 "alternations (transition band too wide?)")
         dev = abs(delta)
         if dev < last_dev * (1 - 1e-12) and last_dev > 0:
-            # deviation must grow monotonically; numerical trouble
-            raise RuntimeError("remez deviation decreased; specification "
-                               "may be unachievable")
+            # the deviation should grow monotonically in exact
+            # arithmetic, but the discrete multiple-exchange can jitter
+            # on hard-but-feasible specs; warn and return the current
+            # iterate instead of hard-failing (the reference and scipy
+            # only warn on non-convergence)
+            warnings.warn("remez deviation decreased between iterations; "
+                          "result may not be optimal")
+            converged = True
+            break
         if np.array_equal(new_iext, iext):
             converged = True
             iext = new_iext

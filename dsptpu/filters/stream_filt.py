@@ -61,6 +61,21 @@ def _gather_windows(xcat, end_idx, winlen):
     return xcat[idx]
 
 
+def _tap_dtype(h_dtype, x_dtype):
+    """Computation dtype for taps h applied to input x: keep the
+    input's precision, but never silently discard complex taps
+    (the reference FIRFilter is generic over tap eltype,
+    stream_filt.jl:137-210)."""
+    h_dtype = jnp.dtype(h_dtype)
+    x_dtype = jnp.dtype(x_dtype)
+    if not jnp.issubdtype(x_dtype, jnp.inexact):
+        x_dtype = jnp.result_type(x_dtype, jnp.float32)
+    if (jnp.issubdtype(h_dtype, jnp.complexfloating)
+            and not jnp.issubdtype(x_dtype, jnp.complexfloating)):
+        return jnp.result_type(h_dtype, x_dtype)
+    return x_dtype
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _block_matmul(xcat, G, s0, B, M, W, out_len):
     """Block-polyphase filtering as a regular matmul (MXU path).
@@ -82,7 +97,8 @@ def _block_matmul(xcat, G, s0, B, M, W, out_len):
     parts = [xc[..., s0 + j * M: s0 + (B + j) * M]
              .reshape(xc.shape[:-1] + (B, M)) for j in range(q + 1)]
     frames = jnp.concatenate(parts, axis=-1)[..., :W]
-    y = jnp.einsum("...bw,wl->...bl", frames, G.astype(frames.dtype),
+    dt = jnp.result_type(frames.dtype, G.dtype)
+    y = jnp.einsum("...bw,wl->...bl", frames.astype(dt), G.astype(dt),
                    precision=jax.lax.Precision.HIGHEST)
     y = y.reshape(xc.shape[:-1] + (B * L,))[..., :out_len]
     return jnp.moveaxis(y, -1, 0)
@@ -95,7 +111,8 @@ def _pfb_dot(xcat, pfb_t, end_idx, phi_idx, winlen):
     win = _gather_windows(xcat, end_idx, winlen)         # (o, w, *chans)
     cols = pfb_t[phi_idx]                                # (o, w)
     cols = cols.reshape(cols.shape + (1,) * (win.ndim - 2))
-    return jnp.sum(win * cols.astype(win.dtype), axis=1)
+    dt = jnp.result_type(win.dtype, cols.dtype)
+    return jnp.sum(win.astype(dt) * cols.astype(dt), axis=1)
 
 
 @partial(jax.jit, static_argnums=(6,))
@@ -113,7 +130,10 @@ def _pfb_dot_arb(xcat, pfb_t, dpfb_t, end_idx, phi_idx, alpha, winlen):
     nw = n - winlen + 1  # windows ending at winlen-1 .. n-1
     frames = jnp.stack([xcat[t: t + nw] for t in range(winlen)], axis=1)
     # (nw, winlen, *chans); banks are (nphi, winlen)
-    both = jnp.concatenate([pfb_t, dpfb_t], axis=0).astype(frames.dtype)
+    both = jnp.concatenate([pfb_t, dpfb_t], axis=0)
+    dt = jnp.result_type(frames.dtype, both.dtype)
+    frames = frames.astype(dt)
+    both = both.astype(dt)
     if frames.ndim == 2:
         allout = jnp.dot(frames, both.T,
                          precision=jax.lax.Precision.HIGHEST)
@@ -309,8 +329,10 @@ class FIRArbitrary(_KernelBase):
     def __init__(self, h, rate, nphi=32):
         if rate <= 0:
             raise ValueError("rate must be greater than 0")
-        h = np.asarray(h, dtype=np.float64)
-        dh = np.append(np.diff(h), 0.0)
+        h = np.asarray(h)
+        if not np.issubdtype(h.dtype, np.inexact):
+            h = h.astype(np.float64)
+        dh = np.append(np.diff(h), h.dtype.type(0))
         pfb = taps2pfb(h, nphi)
         dpfb = taps2pfb(dh, nphi)
         self.pfb_t = jnp.asarray(np.ascontiguousarray(pfb.T))
@@ -521,7 +543,7 @@ class FIRFilter:
         else:
             offs = [(phi0 - 1 + M * p) // L for p in range(L)]
             W = max(offs) + taps
-            G = np.zeros((W, L))
+            G = np.zeros((W, L), dtype=pfb_t.dtype)
             for p in range(L):
                 G[offs[p]: offs[p] + taps, p] = pfb_t[(phi0 - 1 + M * p) % L]
             cache[key] = (G, W)
@@ -561,29 +583,30 @@ class FIRFilter:
                 y = _pfb_dot_arb(xcat, k.pfb_t, k.dpfb_t,
                                  dev[0], dev[1], dev[2], k.taps_per_phi)
             else:
-                y = jnp.zeros((0,) + x.shape[1:], x.dtype)
+                y = jnp.zeros((0,) + x.shape[1:],
+                              _tap_dtype(np.asarray(self.h).dtype, x.dtype))
         elif isinstance(k, FIRStandard):
             out_len = xlen
             from ..ops import dspbase
-            h = jnp.asarray(k.h, xcat.dtype if not jnp.iscomplexobj(xcat)
-                            else k.h.dtype)
+            h = jnp.asarray(k.h, _tap_dtype(k.h.dtype, xcat.dtype))
             y = dspbase.filt(h, None, xcat)[self.history_len:]
         else:
             out_len = (k.output_length(xlen)
                        if xlen >= k.input_deficit else 0)
             if out_len:
                 G, s0, B, M, W, out_len = self._block_args(xlen)
-                Gd = jnp.asarray(G, x.dtype if not jnp.iscomplexobj(x)
-                                 else np.float64)
+                Gd = jnp.asarray(G, _tap_dtype(G.dtype, x.dtype))
                 if USE_PALLAS and x.ndim == 1 \
-                        and not jnp.iscomplexobj(x):
+                        and not jnp.iscomplexobj(x) \
+                        and not jnp.iscomplexobj(Gd):
                     from ..kernels.pfb import pfb_block_filt_pallas
                     y = pfb_block_filt_pallas(xcat, Gd, s0=s0, B=B, M=M,
                                               W=W)[:out_len]
                 else:
                     y = _block_matmul(xcat, Gd, s0, B, M, W, out_len)
             else:
-                y = jnp.zeros((0,) + x.shape[1:], x.dtype)
+                y = jnp.zeros((0,) + x.shape[1:],
+                              _tap_dtype(np.asarray(self.h).dtype, x.dtype))
         k.commit(xlen, out_len)
         if self.history_len:
             self.history = xcat[xcat.shape[0] - self.history_len:]

@@ -87,9 +87,10 @@ size_t rb_next(void* h, const char** out) {
     Ring* r = static_cast<Ring*>(h);
     std::unique_lock<std::mutex> lk(r->mu);
     r->cv_consumer.wait(lk, [r] {
-        return r->count.load() > 0 || (r->eof && r->count.load() == 0);
+        return r->closed || r->count.load() > 0 ||
+               (r->eof && r->count.load() == 0);
     });
-    if (r->count.load() == 0) {  // drained after EOF
+    if (r->closed || r->count.load() == 0) {  // closed or drained
         *out = nullptr;
         return 0;
     }
@@ -113,6 +114,7 @@ void rb_close(void* h) {
         std::lock_guard<std::mutex> lk(r->mu);
         r->closed = true;
         r->cv_reader.notify_all();
+        r->cv_consumer.notify_all();
     }
     if (r->reader.joinable()) r->reader.join();
     fclose(r->f);

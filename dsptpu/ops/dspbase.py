@@ -328,6 +328,105 @@ def _conv_os_1d(u, v, nfft=None):
     return jnp.moveaxis(y, -1, 0).astype(dtype)
 
 
+def _os_frames_axis(x, K, L, W, axis):
+    """Overlapped frames along `axis`: replaces that axis (length >=
+    (K + ceil((W-L)/L)) * L) with a (K, W) pair of axes in place,
+    frame k covering x[..., k*L : k*L + W, ...]. Built from shifted
+    strided reshapes (no gather)."""
+    x = jnp.moveaxis(x, axis, -1)
+    fr = _os_frames(x, K, L, W)                       # (rest..., K, W)
+    return jnp.moveaxis(fr, (-2, -1), (axis, axis + 1))
+
+
+def _conv_os_nd(u, v, outsize):
+    """N-D overlap-save convolution: block-decompose each dimension
+    where the cost model prefers small FFT blocks over one padded
+    full-size FFT (the N-D analogue of reference dspbase.jl:371-609's
+    per-dimension edge-block machinery). TPU-first: every dimension's
+    frames come from shifted strided reshapes, all blocks batch into
+    ONE rfftn over the trailing block axes, and memory stays
+    O(prod(nu_d * nfft_d / L_d)) ~ a small multiple of the input
+    instead of O(prod(outsize)) for the padded full FFT."""
+    dtype = jnp.result_type(u.dtype, v.dtype)
+    cplx = jnp.issubdtype(dtype, jnp.complexfloating)
+    nd = u.ndim
+    nffts, Ls, Ks, blocked = [], [], [], []
+    for d in range(nd):
+        nu_d, nv_d = u.shape[d], v.shape[d]
+        full = 1 << max(outsize[d] - 1, 1).bit_length()
+        if nu_d >= nv_d > 1:
+            osn = optimal_os_nfft(nu_d, nv_d)
+            if osn < full:
+                L = osn - nv_d + 1
+                nffts.append(osn)
+                Ls.append(L)
+                Ks.append(-(-outsize[d] // L))
+                blocked.append(True)
+                continue
+        nffts.append(full)
+        Ls.append(outsize[d])
+        Ks.append(1)
+        blocked.append(False)
+    if not any(blocked):
+        return _conv_fft_simple(u, v, outsize)
+
+    up = u.astype(dtype)
+    pads = []
+    for d in range(nd):
+        if blocked[d]:
+            q = -(-(nffts[d] - Ls[d]) // Ls[d])
+            total = (Ks[d] + q) * Ls[d]
+            front = v.shape[d] - 1
+            pads.append((front, total - front - u.shape[d]))
+        else:
+            pads.append((0, 0))
+    up = jnp.pad(up, pads)
+
+    # frame each blocked dim in turn; each framed axis becomes an
+    # adjacent (K_d, W_d) pair in place, so the final layout is already
+    # the interleaved block order and flattens with a plain reshape
+    wpos = []
+    p = 0
+    for d in range(nd):
+        if blocked[d]:
+            up = _os_frames_axis(up, Ks[d], Ls[d], nffts[d], p)
+            wpos.append(p + 1)
+            p += 2
+        else:
+            wpos.append(p)
+            p += 1
+    axes = tuple(wpos)
+    if cplx:
+        Vf = jnp.fft.fftn(v.astype(dtype), s=nffts, axes=tuple(range(nd)))
+        y = jnp.fft.ifftn(jnp.fft.fftn(up, s=nffts, axes=axes)
+                          * Vf.reshape(_vshape(up.ndim, wpos, Vf.shape)),
+                          axes=axes)
+    else:
+        Vf = jnp.fft.rfftn(v.astype(dtype), s=nffts, axes=tuple(range(nd)))
+        y = jnp.fft.irfftn(jnp.fft.rfftn(up, s=nffts, axes=axes)
+                           * Vf.reshape(_vshape(up.ndim, wpos, Vf.shape)),
+                           s=nffts, axes=axes)
+    # valid region per framed axis
+    sl = [slice(None)] * up.ndim
+    for d in range(nd):
+        if blocked[d]:
+            sl[wpos[d]] = slice(v.shape[d] - 1, v.shape[d] - 1 + Ls[d])
+        else:
+            sl[wpos[d]] = slice(0, Ls[d])
+    y = y[tuple(sl)]
+    y = y.reshape(tuple(Ks[d] * Ls[d] for d in range(nd)))
+    return y[tuple(slice(0, s) for s in outsize)].astype(dtype)
+
+
+def _vshape(ndim, wpos, vf_shape):
+    """Broadcast shape placing the filter spectrum's nd axes at the
+    framed-array's FFT axis positions."""
+    shape = [1] * ndim
+    for d, p in enumerate(wpos):
+        shape[p] = vf_shape[d]
+    return tuple(shape)
+
+
 def _conv_direct(u, v, outsize):
     """Direct N-D full convolution on the MXU via XLA conv
     (replaces the reference's muladd loops, dspbase.jl:646-660)."""
@@ -400,7 +499,9 @@ def conv(u, v, A=None, algorithm="auto"):
                          if optimal_os_nfft(nu, nv) < nu + nv - 1
                          else "fft_simple")
         else:
-            algorithm = "fft_simple"
+            # N-D: overlap-save decides per dimension and falls back to
+            # the single padded FFT when no dimension blocks
+            algorithm = "fft_overlapsave"
     if algorithm == "fft":
         algorithm = "fft_simple"
 
@@ -409,11 +510,11 @@ def conv(u, v, A=None, algorithm="auto"):
     if algorithm == "fft_simple":
         return _conv_fft_simple(u, v, outsize)
     if algorithm == "fft_overlapsave":
+        if u.size < v.size:
+            u, v = v, u
         if u.ndim != 1:
-            return _conv_fft_simple(u, v, outsize)
-        if u.shape[0] >= v.shape[0]:
-            return _conv_os_1d(u, v)
-        return _conv_os_1d(v, u)
+            return _conv_os_nd(u, v, outsize)
+        return _conv_os_1d(u, v)
     raise ValueError(f"unknown convolution algorithm {algorithm!r}")
 
 

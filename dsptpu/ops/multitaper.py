@@ -21,7 +21,8 @@ from .windows import dpss, dpsseig
 from .periodograms import Periodogram, Spectrogram, _num_segments
 from ..utils.fftutil import nextfastfft
 
-__all__ = ["MTConfig", "dpss_config", "mt_pgram", "mt_spectrogram",
+__all__ = ["MTConfig", "MTSpectrogramConfig", "MTCrossSpectraConfig",
+           "MTCoherenceConfig", "dpss_config", "mt_pgram", "mt_spectrogram",
            "mt_cross_power_spectra", "mt_coherence", "CrossPowerSpectra",
            "Coherence", "coherence_from_cs"]
 
@@ -152,14 +153,60 @@ def mt_pgram(s, fs=1.0, nfft=None, nw=4, ntapers=None, window=None,
     return Periodogram(p, config.freq)
 
 
+@dataclass(frozen=True)
+class MTSpectrogramConfig:
+    """Static multitaper-spectrogram plan: an MTConfig plus the
+    segmentation geometry (reference multitaper.jl:248-286). The
+    reference struct also carries FFTW plans and scratch buffers; under
+    XLA those live in the compiled program, so the config is pure
+    static metadata and hashable (jit specializations key on it)."""
+    n_samples: int
+    n_overlap_samples: int
+    mt_config: MTConfig
+
+    def __post_init__(self):
+        if self.mt_config.n_samples <= self.n_overlap_samples:
+            raise ValueError("need samples_per_window > n_overlap_samples")
+
+    @staticmethod
+    def create(n_samples, samples_per_window=None, n_overlap_samples=None,
+               mt_config=None, fs=1.0, **kwargs):
+        """MTSpectrogramConfig(n_samples, mt_config, n_overlap) or
+        MTSpectrogramConfig(n_samples, samples_per_window, n_overlap,
+        fs=..., <MTConfig kwargs>)."""
+        if mt_config is None:
+            if samples_per_window is None:
+                raise ValueError("need samples_per_window or mt_config")
+            mt_config = MTConfig.create(samples_per_window, fs=fs, **kwargs)
+        if n_overlap_samples is None:
+            n_overlap_samples = mt_config.n_samples >> 1
+        return MTSpectrogramConfig(int(n_samples), int(n_overlap_samples),
+                                   mt_config)
+
+    @property
+    def time(self):
+        n = self.mt_config.n_samples
+        hop = n - self.n_overlap_samples
+        nseg = _num_segments(self.n_samples, n, self.n_overlap_samples)
+        return (np.arange(nseg) * hop + n / 2) / self.mt_config.fs
+
+
 def mt_spectrogram(s, n=None, n_overlap=None, fs=1.0, nfft=None, nw=4,
                    ntapers=None, window=None, onesided=None, config=None):
     """Multitaper spectrogram (reference multitaper.jl:305-391): one
-    batched FFT over (segment, taper) and a weighted reduction.
-    Returns a Spectrogram (nfreq x nsegments)."""
+    batched FFT over (segment, taper, channel) and a weighted
+    reduction. `config` may be an MTSpectrogramConfig or an MTConfig.
+    Trailing channel dims batch: returns a Spectrogram with power
+    (nfreq, nsegments, *chans)."""
     s = jnp.asarray(s)
     nsamples = s.shape[0]
-    if config is not None:
+    if isinstance(config, MTSpectrogramConfig):
+        if nsamples != config.n_samples:
+            raise ValueError("signal length does not match config.n_samples")
+        n_overlap = config.n_overlap_samples
+        config = config.mt_config
+        n = config.n_samples
+    elif config is not None:
         n = config.n_samples
         if n_overlap is None:
             n_overlap = n >> 1
@@ -177,10 +224,12 @@ def mt_spectrogram(s, n=None, n_overlap=None, fs=1.0, nfft=None, nw=4,
         raise ValueError("need n > n_overlap")
     nseg = _num_segments(nsamples, n, n_overlap)
     from .periodograms import arraysplit
-    frames = arraysplit(s, n, n_overlap)              # (nseg, n)
-    p = _mt_power(frames, config)                     # (nseg, nfreq)
+    frames = arraysplit(s, n, n_overlap)              # (nseg, n, *chans)
+    frames = jnp.moveaxis(frames, 1, -1)              # (nseg, *chans, n)
+    p = _mt_power(frames, config)                     # (nseg, *chans, nfreq)
+    p = jnp.moveaxis(p, -1, 0)                        # (nfreq, nseg, *chans)
     t = (np.arange(nseg) * hop + n / 2) / config.fs
-    return Spectrogram(p.T, config.freq, t)
+    return Spectrogram(p, config.freq, t)
 
 
 @dataclass(frozen=True)
@@ -203,6 +252,63 @@ def _freq_mask(freq, freq_range):
     return np.flatnonzero(mask), freq[mask]
 
 
+@dataclass(frozen=True)
+class MTCrossSpectraConfig:
+    """Static plan for mt_cross_power_spectra (reference
+    multitaper.jl:424-516). The reference's scratch arrays (x_mt,
+    demeaned_signal) are XLA temporaries here; what remains is the
+    static metadata the kernel specializes on. `freq_range` is kept as
+    a hashable tuple (lo, hi) or None."""
+    n_channels: int
+    demean: bool
+    freq_range: Optional[Tuple]
+    mt_config: MTConfig
+
+    @staticmethod
+    def create(n_channels, n_samples=None, mt_config=None, fs=1.0,
+               demean=False, freq_range=None, **kwargs):
+        if mt_config is None:
+            if n_samples is None:
+                raise ValueError("need n_samples or mt_config")
+            mt_config = MTConfig.create(n_samples, fs=fs, **kwargs)
+        if not mt_config.onesided:
+            raise ValueError("mt_cross_power_spectra requires a onesided "
+                             "(real-input) MTConfig")
+        if freq_range is not None:
+            freq_range = (float(freq_range[0]), float(freq_range[-1]))
+        return MTCrossSpectraConfig(int(n_channels), bool(demean),
+                                    freq_range, mt_config)
+
+    @property
+    def freq(self):
+        _, freqs = _freq_mask(self.mt_config.freq, self.freq_range)
+        return freqs
+
+    @property
+    def normalization_weights(self):
+        return 2.0 / np.asarray(self.mt_config.r)
+
+
+@dataclass(frozen=True)
+class MTCoherenceConfig:
+    """Static plan for mt_coherence (reference multitaper.jl:656-690):
+    a cross-spectra plan plus nothing else device-side (the coherence
+    normalization is derived from the cross-spectral matrix)."""
+    cs_config: MTCrossSpectraConfig
+
+    @staticmethod
+    def create(n_channels, n_samples=None, mt_config=None, fs=1.0,
+               demean=False, freq_range=None, **kwargs):
+        cs = MTCrossSpectraConfig.create(
+            n_channels, n_samples, mt_config, fs=fs, demean=demean,
+            freq_range=freq_range, **kwargs)
+        return MTCoherenceConfig(cs)
+
+    @property
+    def freq(self):
+        return self.cs_config.freq
+
+
 def mt_cross_power_spectra(signal, fs=1.0, demean=False, freq_range=None,
                            nfft=None, nw=4, ntapers=None, window=None,
                            config=None):
@@ -215,7 +321,13 @@ def mt_cross_power_spectra(signal, fs=1.0, demean=False, freq_range=None,
     if jnp.iscomplexobj(signal):
         raise ValueError("only real signals supported (onesided)")
     n_channels, n_samples = signal.shape
-    if config is None:
+    if isinstance(config, MTCrossSpectraConfig):
+        if n_channels != config.n_channels:
+            raise ValueError("channel count does not match config")
+        demean = config.demean
+        freq_range = config.freq_range
+        config = config.mt_config
+    elif config is None:
         config = MTConfig.create(n_samples, fs=fs, nfft=nfft, window=window,
                                  nw=nw, ntapers=ntapers, onesided=True)
     if demean:
@@ -254,7 +366,11 @@ def coherence_from_cs(cs_matrix):
 def mt_coherence(signal, fs=1.0, demean=False, freq_range=None, nfft=None,
                  nw=4, ntapers=None, window=None, config=None):
     """Pairwise channel coherences (reference multitaper.jl:765-817).
-    signal: (n_channels, n_samples). Returns a Coherence object."""
+    signal: (n_channels, n_samples); `config` may be an
+    MTCoherenceConfig, MTCrossSpectraConfig, or MTConfig. Returns a
+    Coherence object."""
+    if isinstance(config, MTCoherenceConfig):
+        config = config.cs_config
     cs = mt_cross_power_spectra(signal, fs=fs, demean=demean,
                                 freq_range=freq_range, nfft=nfft, nw=nw,
                                 ntapers=ntapers, window=window, config=config)

@@ -97,6 +97,9 @@ def shard_welch(x, n, noverlap, window, mesh, time_axis="time",
     if x.shape[0] % ntime or nlocal % hop:
         raise ValueError("signal length must split into time shards that "
                          "are a multiple of hop = n - noverlap")
+    if noverlap > nlocal:
+        raise ValueError("noverlap (the cross-shard halo) must not exceed "
+                         "the local shard length")
     winnorm = 1.0 / (jnp.sum(win ** 2) * fs)
     nfreq = n // 2 + 1
     cspec = () if (x.ndim == 1 or channel_axis is None) else (channel_axis,)
