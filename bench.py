@@ -1,14 +1,21 @@
 """Benchmark harness: BASELINE.json configs on the attached device.
 
 Prints ONE JSON line to stdout:
-  {"metric": ..., "value": N, "unit": "samples/s/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "samples/s/chip",
+   "vs_baseline": N, "extra": {...}}
 
 value = geometric mean of filtered samples/s/chip over the BASELINE
-configs (FIR, overlap-save, Welch/spectrogram, polyphase resample,
-IIR filtfilt). vs_baseline = ratio against the same workloads run via
-scipy.signal on this host's CPU (the reference publishes no numbers —
-BASELINE.md), measured on a subsampled workload and scaled.
-Per-config detail goes to stderr.
+configs (FIR, overlap-save, Welch+spectrogram, polyphase resample,
+IIR filtfilt+LPC). extra carries the second BASELINE headline (STFT
+frames/s/chip), per-config rates, and per-kernel roofline fractions:
+HBM (minimum-traffic bytes/s vs 819 GB/s) and MXU (useful matmul
+FLOP/s vs the f32-effective MXU peak — 197 bf16-TFLOP/s divided by
+the 6 passes HIGHEST-precision f32 costs on the MXU).
+
+vs_baseline = ratio against the same workloads via scipy.signal on
+this host's CPU, best-of-3 on a subsampled workload, scaled (the
+reference publishes no numbers — BASELINE.md). Per-config detail goes
+to stderr.
 """
 
 import json
@@ -25,6 +32,10 @@ def _log(*a):
 
 
 _LATENCY = 0.0
+
+HBM_BW = 819e9          # TPU v5e HBM bandwidth, bytes/s
+MXU_BF16 = 197e12       # TPU v5e peak bf16 MXU FLOP/s
+F32_PASSES = 6          # HIGHEST-precision f32 matmul = 6 bf16 passes
 
 
 def _timeit(fn, *args, reps=3, warmup=1, k=8):
@@ -46,6 +57,15 @@ def _timeit(fn, *args, reps=3, warmup=1, k=8):
         t = (time.perf_counter() - t0 - _LATENCY) / k
         best = min(best, t)
     return max(best, 50e-6)
+
+
+def _cpu_time(fn, reps=3):
+    best = math.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def _sync(r):
@@ -94,38 +114,40 @@ def main():
     rng = np.random.default_rng(1776)
     results = {}
     ratios = {}
+    extra = {"roofline": {}}
 
-    HBM_BW = 819e9  # TPU v5e HBM bandwidth, bytes/s
-
-    def bench_pair(name, nsamples, dev_fn, dev_args, cpu_fn, cpu_args,
-                   cpu_frac=8, min_bytes=None):
-        t_dev = _timeit(dev_fn, *dev_args)
+    def record(name, nsamples, t_dev, t_cpu, min_bytes=None, flops=None):
         sps = nsamples / t_dev
-        # scipy baseline on 1/cpu_frac of the data, extrapolated
-        t0 = time.perf_counter()
-        cpu_fn(*cpu_args)
-        t_cpu = (time.perf_counter() - t0) * cpu_frac
         results[name] = sps
         ratios[name] = sps / (nsamples / t_cpu)
         roof = ""
+        rl = {}
         if min_bytes is not None and on_tpu:
-            # fraction of the HBM-bandwidth roofline, using the
-            # minimum possible traffic (read input + write output)
-            frac = (min_bytes / t_dev) / HBM_BW
-            roof = f", {100*frac:.0f}% of HBM roofline"
+            rl["hbm_frac"] = round((min_bytes / t_dev) / HBM_BW, 4)
+            roof += f", {100*rl['hbm_frac']:.0f}% HBM roofline"
+        if flops is not None and on_tpu:
+            # useful matmul FLOPs vs the f32-effective MXU peak
+            rl["mxu_frac"] = round((flops / t_dev)
+                                   / (MXU_BF16 / F32_PASSES), 4)
+            rl["tflops"] = round(flops / t_dev / 1e12, 2)
+            roof += (f", {100*rl['mxu_frac']:.0f}% MXU roofline "
+                     f"({rl['tflops']:.1f} f32-TFLOP/s)")
+        if rl:
+            extra["roofline"][name] = rl
         _log(f"{name}: {sps/1e6:.1f} MS/s  (vs scipy x{ratios[name]:.1f}"
              f"{roof})")
 
-    # -- config 1: 127-tap FIR, 1M samples, single channel ------------------
+    # -- config 1: 127-tap FIR, 10M samples, single channel -----------------
     n = 10_000_000 // scale
     h = sp.firwin(127, 0.25).astype(dtype)
     x = (np.sin(2 * np.pi * 0.01 * np.arange(n))
          + 0.1 * rng.standard_normal(n)).astype(dtype)
     xj, hj = jnp.asarray(x), jnp.asarray(h)
     fir = jax.jit(lambda b, s: dsptpu.filt(b, s))
-    bench_pair("fir_127tap", n, fir, (hj, xj),
-               lambda: sp.lfilter(h, [1.0], x[: n // 8]), (), 8,
-               min_bytes=2 * 4 * n)
+    t_dev = _timeit(fir, hj, xj)
+    t_cpu = _cpu_time(lambda: sp.lfilter(h, [1.0], x[: n // 8])) * 8
+    record("fir_127tap", n, t_dev, t_cpu, min_bytes=2 * 4 * n,
+           flops=2.0 * n * 128)  # block-Toeplitz matmul, 128-padded taps
 
     # -- config 2: overlap-save 4096-tap FIR, 16ch x 10M --------------------
     nch, n2 = 16, 10_000_000 // (scale * 4 if not on_tpu else 1)
@@ -133,26 +155,40 @@ def main():
     x2 = rng.standard_normal((n2, nch)).astype(dtype)
     x2j, h2j = jnp.asarray(x2), jnp.asarray(h2)
     osf = jax.jit(lambda b, s: dsptpu.fftfilt(b, s))
-    bench_pair("os_4096tap_16ch", n2 * nch, osf, (h2j, x2j),
-               lambda: sp.oaconvolve(x2[: n2 // 16], h2[:, None],
-                                     axes=0), (), 16,
-               min_bytes=2 * 4 * n2 * nch)
+    t_dev = _timeit(osf, h2j, x2j)
+    t_cpu = _cpu_time(lambda: sp.oaconvolve(x2[: n2 // 16], h2[:, None],
+                                            axes=0)) * 16
+    record("os_4096tap_16ch", n2 * nch, t_dev, t_cpu,
+           min_bytes=2 * 4 * n2 * nch)
 
     # -- config 3: welch + spectrogram, nfft=1024, 50% ovl, 64ch ------------
     nch3, n3 = 64, 1_000_000 // scale
     x3 = rng.standard_normal((n3, nch3)).astype(dtype)
     x3j = jnp.asarray(x3)
     win = np.asarray(dsptpu.windows.hanning(1024)).astype(dtype)
+    nfr = ((n3 - 1024) // 512 + 1)
 
-    def welch_dev(s):
-        p = dsptpu.welch_pgram(s, 1024, 512, window=win)
-        return dsptpu.power(p)
-
-    welch_j = jax.jit(welch_dev)
-    bench_pair("welch_1024_64ch", n3 * nch3, welch_j, (x3j,),
-               lambda: sp.welch(x3[: n3 // 8], axis=0, nperseg=1024,
-                                noverlap=512, window=win), (), 8,
-               min_bytes=4 * n3 * nch3)
+    welch_j = jax.jit(lambda s: dsptpu.power(
+        dsptpu.welch_pgram(s, 1024, 512, window=win)))
+    spec_j = jax.jit(lambda s: dsptpu.power(
+        dsptpu.spectrogram(s, 1024, 512, window=win)))
+    t_w = _timeit(welch_j, x3j, k=4)
+    t_s = _timeit(spec_j, x3j, k=4)
+    t_cpu_w = _cpu_time(lambda: sp.welch(
+        x3[: n3 // 8], axis=0, nperseg=1024, noverlap=512, window=win)) * 8
+    t_cpu_s = _cpu_time(lambda: sp.spectrogram(
+        x3[: n3 // 8], axis=0, nperseg=1024, noverlap=512,
+        window=win)) * 8
+    # per-frame useful matmul work in the fused four-step kernel:
+    # N1 * 4 complex-as-real (.,128)@(128,128) products
+    kflops = nfr * nch3 * (8 * 4 * 2 * 128 * 128)
+    record("welch_spectrogram_1024_64ch", 2 * n3 * nch3, t_w + t_s,
+           t_cpu_w + t_cpu_s, min_bytes=2 * 4 * n3 * nch3,
+           flops=2 * kflops)
+    stft_fps = nfr * nch3 / t_s
+    extra["stft_frames_per_s"] = round(stft_fps, 1)
+    _log(f"  stft/spectrogram: {stft_fps/1e6:.2f} M frames/s "
+         f"({nfr*nch3} frames in {t_s*1e3:.2f} ms)")
 
     # -- config 4: polyphase rational resample 147//160 ---------------------
     n4 = 10_000_000 // scale
@@ -166,11 +202,14 @@ def main():
         sf.reset()
         return sf.filt(xc)
 
-    bench_pair("resample_147_160", n4, poly_dev, (x4j,),
-               lambda: sp.resample_poly(x4[: n4 // 8], 147, 160), (), 8,
-               min_bytes=int(4 * n4 * (1 + 147 / 160)))
+    t_dev = _timeit(poly_dev, x4j)
+    t_cpu = _cpu_time(lambda: sp.resample_poly(x4[: n4 // 8], 147, 160)) * 8
+    W4 = -(-len(h4) // 147) + 1  # taps/phase + carry row
+    record("resample_147_160", n4, t_dev, t_cpu,
+           min_bytes=int(4 * n4 * (1 + 147 / 160)),
+           flops=2.0 * n4 * (147 / 160) * W4 * 1)
 
-    # -- config 5: IIR filtfilt, 8th-order butterworth SOS ------------------
+    # -- config 5: IIR filtfilt (SOS8) + LPC (Levinson, order 16) -----------
     n5 = 1_000_000 // scale
     x5 = rng.standard_normal(n5).astype(dtype)
     f5 = dsptpu.filters.as_sos(
@@ -179,23 +218,53 @@ def main():
     sos_sp = np.column_stack([sos_arr[:, :3],
                               np.ones((sos_arr.shape[0], 1)),
                               sos_arr[:, 3:]])
+    sos_sp[0, :3] *= f5.g
     x5j = jnp.asarray(x5)
     ff = jax.jit(lambda s: dsptpu.filtfilt(f5, s))
-    bench_pair("filtfilt_sos8", n5, ff, (x5j,),
-               lambda: sp.sosfiltfilt(sos_sp, x5[: n5 // 8]), (), 8,
-               min_bytes=4 * 4 * n5)
+    t_ff = _timeit(ff, x5j)
+    # speech-frame LPC: 25 ms frames at 16 kHz (400 samples), order 16
+    flen = 400
+    nfr5 = n5 // flen
+    frames5 = x5[: nfr5 * flen].reshape(nfr5, flen).T.copy()  # (flen, nfr)
+    frames5j = jnp.asarray(frames5)
+    lpc_j = jax.jit(lambda fr: dsptpu.lpc(fr, 16, method="levinson"))
+    t_lpc = _timeit(lpc_j, frames5j)
+    t_cpu_ff = _cpu_time(lambda: sp.sosfiltfilt(sos_sp, x5[: n5 // 8])) * 8
+
+    def cpu_lpc():
+        fr = frames5[:, : nfr5 // 8]
+        for i in range(fr.shape[1]):
+            c = np.correlate(fr[:, i], fr[:, i], "full")[flen - 1:
+                                                        flen + 16]
+            sp_a = np.linalg.solve(
+                np.array([[c[abs(j - k)] for k in range(16)]
+                          for j in range(16)]), -c[1:17])
+        return sp_a
+
+    t_cpu_lpc = _cpu_time(cpu_lpc, reps=1) * 8
+    # per-pass useful matmul FLOPs of the fused block-IIR kernel:
+    # (3 + log2(TB)) (.,128)@(128,128) products per 128-sample row
+    biir_flops = 2 * (2.2 * n5) * (3 + 8) * 128  # 2 passes, padded edges
+    record("filtfilt_lpc16", n5 + nfr5 * flen, t_ff + t_lpc,
+           t_cpu_ff + t_cpu_lpc, min_bytes=4 * 4 * n5,
+           flops=int(biir_flops))
+    _log(f"  filtfilt: {n5/t_ff/1e6:.1f} MS/s; "
+         f"lpc16: {nfr5/t_lpc:.0f} frames/s ({nfr5*flen/t_lpc/1e6:.1f} MS/s)")
 
     # -- headline ------------------------------------------------------------
     geo = math.exp(sum(math.log(v) for v in results.values())
                    / len(results))
     geo_ratio = math.exp(sum(math.log(v) for v in ratios.values())
                          / len(ratios))
+    extra["configs"] = {k: round(v, 1) for k, v in results.items()}
     print(json.dumps({
         "metric": "filtered samples/s/chip (geomean: FIR, overlap-save, "
-                  "Welch, polyphase resample, filtfilt)",
+                  "Welch+spectrogram, polyphase resample, filtfilt+LPC); "
+                  "STFT frames/s/chip in extra.stft_frames_per_s",
         "value": round(geo, 1),
         "unit": "samples/s",
         "vs_baseline": round(geo_ratio, 3),
+        "extra": extra,
     }), flush=True)
 
 

@@ -191,6 +191,28 @@ def _blockss(A, c, w, d, V=None):
     return hit
 
 
+import os as _os
+_PALLAS_IIR = {"0": False, "1": True}.get(
+    _os.environ.get("DSPTPU_PALLAS", ""), None)
+if _os.environ.get("DSPTPU_NO_PALLAS", "") == "1":
+    _PALLAS_IIR = False
+
+
+def _pallas_iir_ok(ss, x, need_state):
+    if need_state or _PALLAS_IIR is False:
+        return False
+    from ..kernels.biir import biir_supported
+    if not (biir_supported(ss, x.dtype) and x.shape[0] >= 4 * ss.V):
+        return False
+    if _PALLAS_IIR is True:
+        return True
+    try:
+        import jax
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
 def _blockss_apply(ss, x, z0, need_state=True):
     """Apply the block state-space system over x (n, C) with initial
     state z0 (p, C); returns (y (n, C), z_final (p, C) or None).
@@ -201,9 +223,21 @@ def _blockss_apply(ss, x, z0, need_state=True):
     recurrence over n/V block states (_affine_rec). One pass covers a
     whole SOS cascade via the stacked 2*nsec state (_stack_cascade);
     replaces the reference's per-sample per-section loop
-    (filt.jl:39-49) at ~2V+4p FLOPs/sample of MXU-shaped work."""
+    (filt.jl:39-49) at ~2V+4p FLOPs/sample of MXU-shaped work. On TPU,
+    when no streaming state is needed, the whole pass runs as ONE
+    fused Pallas kernel (kernels/biir.py)."""
     dtype = x.dtype
     n, C = x.shape
+    if _pallas_iir_ok(ss, x, need_state):
+        from ..kernels.biir import blockss_filt_pallas
+        import jax as _jax
+        interp = False
+        try:
+            interp = _jax.devices()[0].platform in ("cpu",)
+        except Exception:
+            interp = True
+        y = blockss_filt_pallas(ss, x, z0, interpret=interp)
+        return y, None
     V, p = ss.V, ss.p
     B = -(-n // V)
     npad = B * V - n
@@ -290,12 +324,12 @@ def _stack_cascade(sos, g=1.0):
     return A, cvec, g * wk, g * dk
 
 
-def _affine_apply(bp, ap, x, z0):
+def _affine_apply(bp, ap, x, z0, need_state=True):
     """Transposed DF-II of a normalized (a[0]==1) filter over x (n, C)
     with initial state z0 (p, C); returns (y, z_final). bp/ap are host
     numpy design-time constants; see _blockss_apply."""
     ss = _blockss(*_single_ss(bp, ap))
-    return _blockss_apply(ss, x, z0)
+    return _blockss_apply(ss, x, z0, need_state=need_state)
 
 
 def _biquad_apply(b0, b1, b2, a1, a2, x, z0):
@@ -337,10 +371,10 @@ def _sos_arrays(f):
     return arr, 1.0
 
 
-def _sosfilt(sos, g, x, si):
+def _sosfilt(sos, g, x, si, need_state=True):
     """Biquad cascade as ONE stacked block state-space pass (the fused
     form of reference filt.jl:35-65; see _stack_cascade). x (n, *chans),
-    si (2, nsec, *chans). Returns (y, si_final)."""
+    si (2, nsec, *chans). Returns (y, si_final or None)."""
     flat, restore = _flatten_channels(x)
     dtype = flat.dtype
     if not (jnp.issubdtype(dtype, jnp.floating)
@@ -353,7 +387,9 @@ def _sosfilt(sos, g, x, si):
     # stacked state rows ordered (z1_0, z2_0, z1_1, ...) <-> si (2, nsec, C)
     z0 = si.reshape(2, nsec, -1).astype(dtype)
     z0 = jnp.swapaxes(z0, 0, 1).reshape(2 * nsec, -1)
-    y, zf = _blockss_apply(ss, flat, z0)
+    y, zf = _blockss_apply(ss, flat, z0, need_state=need_state)
+    if not need_state:
+        return restore(y), None
     si_final = jnp.swapaxes(zf.reshape(nsec, 2, -1), 0, 1).reshape(
         (2, nsec) + x.shape[1:])
     return restore(y), si_final
@@ -369,7 +405,7 @@ def sosfilt(f, x, si=None):
     nsec = sos.shape[0]
     if si is None:
         zi = jnp.zeros((2, nsec) + x.shape[1:], x.dtype)
-        y, _ = _sosfilt(sos, g, x, zi)
+        y, _ = _sosfilt(sos, g, x, zi, need_state=False)
         return y
     y, sf = _sosfilt(sos, g, x, jnp.asarray(si))
     return y, sf
@@ -541,9 +577,11 @@ def _iir_filtfilt(b, a, x):
     zij = jnp.asarray(zi, dtype)
 
     ext = _extrapolate(flat, pad)
-    y1, _ = _affine_apply(bp, ap, ext, zij[:, None] * ext[0][None, :])
+    y1, _ = _affine_apply(bp, ap, ext, zij[:, None] * ext[0][None, :],
+                          need_state=False)
     y1r = y1[::-1]
-    y2, _ = _affine_apply(bp, ap, y1r, zij[:, None] * y1r[0][None, :])
+    y2, _ = _affine_apply(bp, ap, y1r, zij[:, None] * y1r[0][None, :],
+                          need_state=False)
     y = y2[::-1]
     return restore(y[pad: pad + x.shape[0]] if pad else y)
 
@@ -560,9 +598,11 @@ def _filtfilt_sos(f, x):
     zij = jnp.asarray(filt_stepstate_sos(sos), dtype)
 
     ext = _extrapolate(flat, pad)
-    y1, _ = _sosfilt(sos, g, ext, zij[:, :, None] * ext[0][None, None, :])
+    y1, _ = _sosfilt(sos, g, ext, zij[:, :, None] * ext[0][None, None, :],
+                     need_state=False)
     y1r = y1[::-1]
-    y2, _ = _sosfilt(sos, g, y1r, zij[:, :, None] * y1r[0][None, None, :])
+    y2, _ = _sosfilt(sos, g, y1r, zij[:, :, None] * y1r[0][None, None, :],
+                     need_state=False)
     y = y2[::-1]
     return restore(y[pad: pad + x.shape[0]] if pad else y)
 

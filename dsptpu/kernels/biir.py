@@ -1,0 +1,180 @@
+"""Pallas TPU kernel: fused block state-space IIR (SOS cascade) filter.
+
+Device-side compainion of filters.filt._blockss_apply (the exact block
+state-space form of y_t = d x_t + w'z_{t-1}; z_t = A z_{t-1} + c x_t,
+reference semantics Filters/filt.jl:35-65,122-230). The XLA path runs
+~10 small HLO ops per filter pass; over a tunneled single chip the
+fixed per-op dispatch overhead dominates (measured ~7 ms/pass on v5e
+for an 8th-order cascade). This kernel fuses the ENTIRE pass into one
+pallas_call:
+
+  * the signal is viewed as rows of V=128 samples (one row = one state
+    block, lane-aligned);
+  * per grid step, a (TB, 128) chunk of rows is processed:
+      Ylocal = X @ F'          (exact impulse-response Toeplitz, MXU)
+      U      = X @ K'          (block input -> state increment, padded
+                                to 128 state lanes)
+      Z      = prefix-scan of z_b = A z_{b-1} + U_b over the TB rows
+               via log2(TB) Hillis-Steele steps, each one
+               (TB,128) @ (128,128) matmul with A^{2^s} plus a
+               sublane roll + mask — no sequential per-row loop;
+      Y      = Ylocal + Zstart @ G~  (state -> output, MXU)
+  * the running state crosses grid steps through a VMEM scratch row
+    (the only sequential dependency, one 128-lane row per chunk).
+
+State dimension p <= 32 (any SOS cascade up to 16 sections) rides in
+the first p lanes of a 128-lane row; the A/K/G tables are zero-padded
+to 128 so every matmul is lane-aligned.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    pallas_available = True
+except Exception:  # pragma: no cover
+    pallas_available = False
+
+__all__ = ["blockss_filt_pallas", "biir_supported", "pallas_available"]
+
+_V = 128
+
+
+def biir_supported(ss, dtype):
+    return (pallas_available and ss.V == _V and ss.p <= 32
+            and jnp.dtype(dtype) == jnp.float32)
+
+
+def _pad128(m):
+    """Zero-pad a (a, b) table to (128, 128)."""
+    out = np.zeros((_V, _V))
+    out[: m.shape[0], : m.shape[1]] = m
+    return out
+
+
+def _kernel(x_ref, z0_ref, ft_ref, kt_ref, gt_ref, a1t_ref, apow_ref,
+            o_ref, carry, *, TB, nsteps, prec):
+    """Grid (C, nchunks). x_ref block: (1, TB, 128) rows; z0_ref block
+    (1, 128); apow_ref: (nsteps, 128, 128) stacked (A^{2^s})' tables;
+    a1t_ref: (128, 128) = A'; carry: (8, 128) scratch, row 0 = state
+    entering this chunk."""
+    b = pl.program_id(1)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=prec)
+    X = x_ref[0]                                       # (TB, 128)
+
+    @pl.when(b == 0)
+    def _():
+        carry[0:1, :] = z0_ref[...]
+
+    zc = carry[0:1, :]                                 # (1, 128)
+    U = dot(X, kt_ref[:])                              # (TB, 128) states
+    # fold the entering state into row 0: u_0 += A @ z_carry
+    cin = dot(zc, a1t_ref[:])                          # (1, 128)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0)
+    U = U + jnp.where(rows == 0, jnp.broadcast_to(cin, (TB, _V)), 0.0)
+    # inclusive prefix scan: z_r = sum_{i<=r} A^{r-i} u_i
+    Z = U
+    for s in range(nsteps):
+        sh = 1 << s
+        shifted = pltpu.roll(Z, sh, 0)
+        shifted = jnp.where(rows >= sh, shifted, 0.0)
+        Z = Z + dot(shifted, apow_ref[s])
+    # states entering each row: (z_carry, z_0 .. z_{TB-2})
+    zs = pltpu.roll(Z, 1, 0)
+    Zstart = jnp.where(rows >= 1, zs, 0.0) \
+        + jnp.where(rows == 0, jnp.broadcast_to(zc, (TB, _V)), 0.0)
+    Y = dot(X, ft_ref[:]) + dot(Zstart, gt_ref[:])
+    o_ref[0] = Y
+    carry[0:1, :] = Z[TB - 1: TB, :]
+
+
+@functools.partial(jax.jit, static_argnames=("TB", "precision",
+                                             "interpret"))
+def _biir_jit(xrows, z0, ft, kt, gt, a1t, apow, TB, precision, interpret):
+    C, Bp, _ = xrows.shape
+    nchunks = Bp // TB
+    nsteps = max((TB - 1).bit_length(), 1)
+    assert apow.shape[0] == nsteps
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    return pl.pallas_call(
+        functools.partial(_kernel, TB=TB, nsteps=nsteps, prec=prec),
+        out_shape=jax.ShapeDtypeStruct((C, Bp, _V), jnp.float32),
+        grid=(C, nchunks),
+        in_specs=[
+            pl.BlockSpec((1, TB, _V), lambda c, b: (c, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _V), lambda c, b: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_V, _V), lambda c, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_V, _V), lambda c, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_V, _V), lambda c, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_V, _V), lambda c, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((apow.shape[0], _V, _V), lambda c, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TB, _V), lambda c, b: (c, b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, _V), jnp.float32)],
+        interpret=interpret,
+    )(xrows, z0, ft, kt, gt, a1t, apow)
+
+
+_tab_cache = {}
+
+
+def _dev_tables(ss, TB):
+    """HOST numpy tables (cached); converted to device constants at
+    each trace site — caching jnp arrays here would leak tracers
+    across jit scopes."""
+    key = (id(ss), TB)
+    hit = _tab_cache.get(key)
+    if hit is None:
+        nsteps = max((TB - 1).bit_length(), 1)
+        # row-vector convention: z_row @ M' == (M @ z)'
+        ft = ss.F.T.astype(np.float32)                     # X @ F'
+        kt = _pad128(ss.K.T).astype(np.float32)            # X @ K'
+        gt = _pad128(ss.G.T).astype(np.float32)
+        a1t = _pad128(ss.AV.T).astype(np.float32)
+        pw = np.linalg.matrix_power
+        apow = np.stack([_pad128(pw(ss.AV, 1 << s).T)
+                         for s in range(nsteps)]).astype(np.float32)
+        hit = (ft, kt, gt, a1t, apow)
+        if len(_tab_cache) > 128:
+            _tab_cache.clear()
+        _tab_cache[key] = hit
+    return hit
+
+
+def blockss_filt_pallas(ss, x, z0, TB=256, precision="highest",
+                        interpret=False):
+    """Apply the block state-space system `ss` (filters.filt._BlockSS,
+    V=128) over x (n, C) f32 with initial state z0 (p, C). Returns
+    y (n, C); the final state is not produced (use the XLA path for
+    streaming continuation)."""
+    n, C = x.shape
+    p = ss.p
+    B = -(-n // _V)
+    nchunks = -(-B // TB)
+    Bp = nchunks * TB
+    xT = jnp.asarray(x).T                                  # (C, n)
+    if Bp * _V > n:
+        xT = jnp.pad(xT, ((0, 0), (0, Bp * _V - n)))
+    xrows = xT.reshape(C, Bp, _V)
+    z0p = jnp.zeros((C, _V), jnp.float32).at[:, :p].set(jnp.asarray(z0).T)
+    ft, kt, gt, a1t, apow = (jnp.asarray(t)
+                             for t in _dev_tables(ss, TB))
+    y = _biir_jit(xrows, z0p, ft, kt, gt, a1t, apow, TB, precision,
+                  interpret)
+    return y.reshape(C, Bp * _V)[:, :n].T

@@ -1,0 +1,238 @@
+"""Pallas TPU kernel: fused windowed-segment DFT (STFT / Welch / PSD).
+
+The reference's hot loop walks segments one at a time through an FFTW
+plan (periodograms.jl:746-759, multitaper.jl:143-153). The XLA path
+already batches every segment into one rFFT, but measured on TPU v5e
+the XLA FFT runs far below both rooflines. This kernel instead maps
+the transform onto the MXU with a four-step (Cooley-Tukey N = N1*128)
+real DFT whose long stage is a dense (frames, 128) @ (128, 128)
+complex matmul, and fuses the entire per-segment pipeline —
+
+    overlapped framing (row-plane DMA) -> window multiply ->
+    radix-N1 first stage (VPU) -> twiddle -> 128-DFT matmul (MXU) ->
+    |.|^2 -> segment accumulation (Welch) or per-frame output
+
+— into one pass over HBM: the signal is read once; frames and spectra
+never round-trip to HBM.
+
+Index math: a frame of nfft = N1*128 samples starting at b*hop
+(hop % 128 == 0) is N1 rows of the (nrows, 128) row-major signal view,
+rows hr*b + j1 for j1 < N1, hr = hop/128. Rows are regrouped outside
+the kernel (one XLA transpose) into hr interleaved row planes
+Q[m][i] = rows[hr*i + m] so each grid step DMAs hr contiguous row
+blocks (sublane-aligned, lane-width 128) and frame j1-planes become
+*static sublane-offset* slices Q[j1 % hr][b + j1//hr] — the Mosaic-
+friendly replacement for strided framing.
+
+DFT decomposition (j = j2 + 128*j1, k = k1 + N1*k2):
+    X[k1 + N1*k2] = sum_j2 W128[k2, j2] * T[k1, j2] *
+                    (sum_j1 WN1[k1, j1] * x[j2 + 128*j1])
+with twiddle T[k1, j2] = exp(-2i pi j2 k1 / nfft). The first stage is
+<= N1^2 scaled (TB, 128) tile adds on the VPU; the second is the MXU
+matmul. Bin k of the length-nfft DFT lives at (k1, k2) = (k % N1,
+k // N1) of the (N1, 128) output tile.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    pallas_available = True
+except Exception:  # pragma: no cover
+    pallas_available = False
+
+__all__ = ["stft_pow_pallas", "stft_supported", "bins_from_tile",
+           "pallas_available"]
+
+
+def stft_supported(nfft, hop, dtype):
+    """This kernel handles f32 real input with lane-aligned geometry."""
+    return (pallas_available and nfft % 128 == 0 and hop % 128 == 0
+            and 2 <= nfft // 128 <= 16
+            and jnp.dtype(dtype) == jnp.float32)
+
+
+def _tables(nfft, N1, win):
+    """Host tables: first-stage DFT (N1, N1) (returned as numpy, baked
+    into the kernel as scalars), twiddles (N1, 128), second-stage DFT
+    (128, 128), window planes (N1, 128)."""
+    j1 = np.arange(N1)
+    w1 = np.exp(-2j * np.pi * np.outer(j1, j1) * 128.0 / nfft)
+    j2 = np.arange(128)
+    tw = np.exp(-2j * np.pi * np.outer(j1, j2) / nfft)
+    k2 = np.arange(128)
+    w2 = np.exp(-2j * np.pi * np.outer(j2, k2) * N1 / nfft)
+    wp = (np.asarray(win, np.float64).reshape(N1, 128) if win is not None
+          else np.ones((N1, 128)))
+    f32 = np.float32
+    return (w1.real, w1.imag, tw.real.astype(f32), tw.imag.astype(f32),
+            w2.real.astype(f32), w2.imag.astype(f32), wp.astype(f32))
+
+
+def _kernel(q_hbm, twre, twim, w2re, w2im, wp, o_ref, scratch, sem, *,
+            w1re, w1im, TB, N1, hr, nrq, pad, nblocks, prec, accum,
+            valid_last):
+    """Grid (C, nblocks). q_hbm: (C*hr*nrq, 128) flattened row planes;
+    scratch (hr, pad, 128). o_ref: (1, 1, N1, 128) PSD accumulator
+    block when accum, else (1, 1, N1, TB, 128) per-frame block."""
+    c = pl.program_id(0)
+    b = pl.program_id(1)
+    for m in range(hr):
+        pltpu.make_async_copy(
+            q_hbm.at[pl.ds((c * hr + m) * nrq + b * TB, pad), :],
+            scratch.at[m], sem).start()
+        pltpu.make_async_copy(
+            q_hbm.at[pl.ds((c * hr + m) * nrq + b * TB, pad), :],
+            scratch.at[m], sem).wait()
+
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=prec)
+    w2re = w2re[:]
+    w2im = w2im[:]
+    planes = [scratch[j1 % hr, j1 // hr: j1 // hr + TB, :]
+              * wp[j1, :][None, :] for j1 in range(N1)]
+    if accum and valid_last != TB:
+        # zero frames past the true frame count in the last block; a
+        # zeroed frame contributes nothing to the PSD sum
+        fid = jax.lax.broadcasted_iota(jnp.int32, (TB, 128), 0)
+        keep = (b < nblocks - 1) | (fid < valid_last)
+        planes = [jnp.where(keep, p, 0.0) for p in planes]
+    for k1 in range(N1):
+        bre = None
+        bim = None
+        for j1 in range(N1):
+            c1, s1 = float(w1re[k1, j1]), float(w1im[k1, j1])
+            if abs(c1) > 1e-12:
+                t = planes[j1] if abs(c1 - 1.0) < 1e-12 else planes[j1] * c1
+                bre = t if bre is None else bre + t
+            if abs(s1) > 1e-12:
+                t = planes[j1] if abs(s1 - 1.0) < 1e-12 else planes[j1] * s1
+                bim = t if bim is None else bim + t
+        if bre is None:
+            bre = jnp.zeros((TB, 128), jnp.float32)
+        if bim is None:
+            bim = jnp.zeros((TB, 128), jnp.float32)
+        # twiddle (elementwise, row k1 of the table broadcast over frames)
+        cre = bre * twre[k1, :][None, :] - bim * twim[k1, :][None, :]
+        cim = bre * twim[k1, :][None, :] + bim * twre[k1, :][None, :]
+        # long-stage DFT on the MXU
+        dre = dot(cre, w2re) - dot(cim, w2im)
+        dim = dot(cre, w2im) + dot(cim, w2re)
+        pw = dre * dre + dim * dim                  # (TB, 128)
+        if accum:
+            row = jnp.sum(pw, axis=0, keepdims=True)    # (1, 128)
+
+            @pl.when(b == 0)
+            def _(row=row, k1=k1):
+                o_ref[0, 0, k1, :] = row[0]
+
+            @pl.when(b > 0)
+            def _(row=row, k1=k1):
+                o_ref[0, 0, k1, :] = o_ref[0, 0, k1, :] + row[0]
+        else:
+            o_ref[0, 0, k1] = pw
+
+
+def stft_pow_pallas(x, win, nfft, hop, nframes, accumulate=False,
+                    precision="highest", TB=256, interpret=False):
+    """Fused windowed-segment power spectra on TPU.
+
+    x: (n,) or (n, C) real f32 signal (time-major); win: (nfft,) HOST
+    numpy window (design-time constant) or None; frames start at b*hop,
+    b < nframes. Returns DFT bin powers in the four-step tile layout
+    (see bins_from_tile):
+      accumulate=False: (C, nframes, N1, 128) per-frame |X|^2
+      accumulate=True:  (C, N1, 128) sum over frames (Welch numerator)
+    """
+    N1 = nfft // 128
+    wp = (np.asarray(win, np.float64).reshape(N1, 128) if win is not None
+          else np.ones((N1, 128))).astype(np.float32)
+    return _stft_pow_jit(x, jnp.asarray(wp), nfft, hop, nframes,
+                         accumulate, precision, TB, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("nfft", "hop", "nframes",
+                                             "accumulate", "precision",
+                                             "TB", "interpret"))
+def _stft_pow_jit(x, wp, nfft, hop, nframes, accumulate,
+                  precision, TB, interpret):
+    if x.ndim == 1:
+        x = x[:, None]
+    n, C = x.shape
+    N1 = nfft // 128
+    hr = hop // 128
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    nblocks = -(-nframes // TB)
+    valid_last = nframes - (nblocks - 1) * TB
+    extra = -(-N1 // hr)
+    pad = -(-(TB + extra) // 8) * 8
+    nrq = nblocks * TB + pad
+    need = nrq * hr * 128
+    xT = x.T                                      # (C, n)
+    if need > n:
+        xT = jnp.pad(xT, ((0, 0), (0, need - n)))
+    rows = xT[:, : nrq * hr * 128].reshape(C, nrq, hr, 128)
+    q = jnp.swapaxes(rows, 1, 2).reshape(C * hr * nrq, 128)  # row planes
+
+    w1re, w1im, twre, twim, w2re, w2im, _ = _tables(nfft, N1, None)
+    tab = [jnp.asarray(t) for t in (twre, twim, w2re, w2im)] + [wp]
+
+    if accumulate:
+        out_shape = (C, 1, N1, 128)
+        out_specs = pl.BlockSpec((1, 1, N1, 128), lambda c, b: (c, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        out_shape = (C, nblocks, N1, TB, 128)
+        out_specs = pl.BlockSpec((1, 1, N1, TB, 128),
+                                 lambda c, b: (c, b, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, w1re=w1re, w1im=w1im, TB=TB, N1=N1,
+                          hr=hr, nrq=nrq, pad=pad, nblocks=nblocks,
+                          prec=prec, accum=accumulate,
+                          valid_last=valid_last),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        grid=(C, nblocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((N1, 128), lambda c, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N1, 128), lambda c, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda c, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda c, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N1, 128), lambda c, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((hr, pad, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(q, *tab)
+    if accumulate:
+        return out[:, 0]
+    # (C, nblocks, N1, TB, 128) -> (C, frames, N1, 128)
+    out = jnp.swapaxes(out, 2, 3).reshape(C, nblocks * TB, N1, 128)
+    return out[:, :nframes]
+
+
+def bins_from_tile(tile, nfft, nbins):
+    """Reorder the (..., N1, 128) four-step tile into DFT bin order
+    k = 0..nbins-1 (tiny XLA epilogue)."""
+    N1 = nfft // 128
+    flat = tile.reshape(tile.shape[:-2] + (N1 * 128,))
+    k = np.arange(nbins)
+    idx = (k % N1) * 128 + (k // N1)
+    return flat[..., jnp.asarray(idx)]

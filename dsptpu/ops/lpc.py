@@ -119,10 +119,15 @@ def lpc(x, p, method="burg"):
         a, err, _ = arburg(x, p)
         return a[1:], err
     if method == "levinson":
-        if x.ndim != 1:
-            raise ValueError("levinson lpc expects a vector")
         n = x.shape[0]
-        R = xcorr(x, scaling="biased")[n - 1:]
+        if x.ndim == 1:
+            R = xcorr(x, scaling="biased")[n - 1:]
+        else:
+            # batched biased autocorrelation: only the p+1 needed lags,
+            # as shifted elementwise products (no per-channel FFTs)
+            xc = jnp.conj(x)
+            R = jnp.stack([jnp.sum(xc[: n - l] * x[l:], axis=0) / n
+                           for l in range(p + 1)], axis=0)
         a, err, _ = levinson(R, p)
         return a, err
     raise ValueError("method must be 'burg' or 'levinson'")

@@ -190,6 +190,74 @@ def _fft_segments(frames, nfft, is_real):
 
 
 # ---------------------------------------------------------------------------
+# fused Pallas segment-DFT path (TPU)
+# ---------------------------------------------------------------------------
+#
+# On TPU the windowed-segment pipeline runs as ONE Pallas kernel
+# (kernels/stft.py): framing DMA + window + four-step MXU DFT + |.|^2
+# (+ Welch accumulation) fused over HBM. Enabled by default on
+# non-CPU backends for supported geometries; DSPTPU_NO_PALLAS=1
+# disables, DSPTPU_PALLAS=1 forces (uses interpret mode off-TPU).
+
+import os as _os
+_PALLAS_STFT = {"0": False, "1": True}.get(
+    _os.environ.get("DSPTPU_PALLAS", ""), None)
+if _os.environ.get("DSPTPU_NO_PALLAS", "") == "1":
+    _PALLAS_STFT = False
+
+
+def _pallas_stft_ok(s, n, nfft, hop):
+    if _PALLAS_STFT is False:
+        return False
+    if jnp.iscomplexobj(s) or s.dtype != jnp.float32:
+        return False
+    from ..kernels.stft import stft_supported
+    if not (stft_supported(nfft, hop, s.dtype) and n <= nfft):
+        return False
+    if _PALLAS_STFT is True:
+        return True
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _pallas_seg_pow(s, n, noverlap, nfft, win, accumulate):
+    """Per-frame (or frame-summed) |DFT|^2 via the fused kernel.
+    s: (len, *chans); returns (k, nfft_bins_full, *chans) powers or,
+    when accumulate, (nfft_bins_full, *chans) frame sums."""
+    from ..kernels.stft import stft_pow_pallas, bins_from_tile
+    hop = n - noverlap
+    k = _num_segments(s.shape[0], n, noverlap)
+    flat = s.reshape(s.shape[0], -1)                  # (len, C)
+    wext = np.zeros(nfft)
+    wext[:n] = np.asarray(win) if win is not None else 1.0
+    try:
+        interp = jax.devices()[0].platform in ("cpu",)
+    except Exception:
+        interp = True
+    tile = stft_pow_pallas(flat, wext, nfft, hop, k,
+                           accumulate=accumulate, interpret=interp)
+    pw = bins_from_tile(tile, nfft, nfft)             # (C, [k,] nfft)
+    if accumulate:
+        return jnp.moveaxis(pw, 0, -1).reshape((nfft,) + s.shape[1:])
+    out = jnp.moveaxis(pw, 0, -1)                     # (k, nfft, C)
+    return out.reshape((k, nfft) + s.shape[1:])
+
+
+def _psd_weights(nfft, r, onesided, dtype=None):
+    """One/two-sided PSD bin weights (fft2pow bookkeeping,
+    periodograms.jl:142-172) applied to full-spectrum |X|^2 bins."""
+    nbins = nfft // 2 + 1 if onesided else nfft
+    w = np.full(nbins, 1.0 / r)
+    if onesided:
+        w[1:] *= 2.0
+        if nfft % 2 == 0:
+            w[-1] /= 2.0
+    return w
+
+
+# ---------------------------------------------------------------------------
 # periodogram (1-D and 2-D)
 # ---------------------------------------------------------------------------
 
@@ -330,12 +398,23 @@ def welch_pgram(s, n=None, noverlap=None, onesided=None, nfft=None, fs=1.0,
 
     win = None if config.window is None else np.asarray(config.window)
     norm2 = float(config.nsamples) if win is None else float(np.sum(win ** 2))
-    frames = arraysplit(s, config.nsamples, config.noverlap, config.nfft, win)
-    k = frames.shape[0]
-    F = _fft_segments(frames, config.nfft, is_real)
-    pw = _psd_from_rfft(F, config.nfft, k * config.fs * norm2,
-                        config.onesided, twosided_from_rfft=is_real)
-    pw = jnp.sum(pw, axis=0)
+    k = _num_segments(s.shape[0], config.nsamples, config.noverlap)
+    if _pallas_stft_ok(s, config.nsamples, config.nfft,
+                       config.nsamples - config.noverlap):
+        psum = _pallas_seg_pow(s, config.nsamples, config.noverlap,
+                               config.nfft, win, accumulate=True)
+        wts = _psd_weights(config.nfft, k * config.fs * norm2,
+                           config.onesided)
+        nbins = len(wts)
+        pw = psum[:nbins] * jnp.asarray(wts, psum.dtype).reshape(
+            (nbins,) + (1,) * (psum.ndim - 1))
+    else:
+        frames = arraysplit(s, config.nsamples, config.noverlap,
+                            config.nfft, win)
+        F = _fft_segments(frames, config.nfft, is_real)
+        pw = _psd_from_rfft(F, config.nfft, k * config.fs * norm2,
+                            config.onesided, twosided_from_rfft=is_real)
+        pw = jnp.sum(pw, axis=0)
     f = (np.fft.rfftfreq(config.nfft, 1 / config.fs) if config.onesided
          else np.fft.fftfreq(config.nfft, 1 / config.fs))
     return Periodogram(pw, f)
@@ -361,6 +440,14 @@ def stft(s, n=None, noverlap=None, psdonly=False, onesided=None, nfft=None,
     nfft = nextfastfft(n) if nfft is None else int(nfft)
 
     win, norm2 = _resolve_window(window, n)
+    if psdonly and _pallas_stft_ok(s, n, nfft, n - noverlap):
+        pw = _pallas_seg_pow(s, n, noverlap, nfft, win,
+                             accumulate=False)       # (k, nfft, *chans)
+        wts = _psd_weights(nfft, fs * norm2, onesided)
+        nbins = len(wts)
+        out = pw[:, :nbins] * jnp.asarray(wts, pw.dtype).reshape(
+            (1, nbins) + (1,) * (pw.ndim - 2))
+        return jnp.swapaxes(out, 0, 1)
     frames = arraysplit(s, n, noverlap, nfft, win)   # (k, nfft, *chans)
     F = _fft_segments(frames, nfft, is_real)         # (k, nbins, *chans)
     if psdonly:

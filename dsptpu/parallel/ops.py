@@ -28,7 +28,8 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["shard_fir", "shard_fftfilt", "shard_welch", "shard_sosfilt"]
+__all__ = ["shard_fir", "shard_fftfilt", "shard_welch", "shard_sosfilt",
+           "shard_stft_pow", "shard_spectrogram"]
 
 
 def _right_shift_halo(x_tail, axis_name):
@@ -155,16 +156,50 @@ def shard_welch(x, n, noverlap, window, mesh, time_axis="time",
     return psd, freqs
 
 
+def _shard_affine_prefix(T_np, v, axis_name, nsh):
+    """Exclusive affine prefix over a mesh axis: shard k receives
+    zin_k = sum_{j<k} T^{k-1-j} v_j (zin_0 = 0), in ceil(log2 nsh)
+    ppermute-doubling steps. Each step moves one (p, C) state and the
+    running (p, p) transition — O(log) depth, O(p^2 + pC) bytes per
+    step, replacing an O(nsh^2) all_gather chain. v: (p, C)."""
+    dtype = v.dtype
+    idx = lax.axis_index(axis_name)
+    A = jnp.broadcast_to(jnp.asarray(T_np).astype(dtype),
+                         T_np.shape)                     # (p, p)
+    b = v
+    d = 1
+    while d < nsh:
+        perm = [(i, (i + d) % nsh) for i in range(nsh)]
+        A_in = lax.ppermute(A, axis_name, perm)
+        b_in = lax.ppermute(b, axis_name, perm)
+        have = idx >= d
+        # compose: newer (A, b) after older (A_in, b_in)
+        A_new = jnp.einsum("ab,bc->ac", A, A_in)
+        b_new = jnp.einsum("ab,bc->ac", A, b_in) + b
+        A = jnp.where(have, A_new, A)
+        b = jnp.where(have, b_new, b)
+        d *= 2
+    # b now holds the inclusive prefix P_k; shift right for exclusive
+    perm = [(i, (i + 1) % nsh) for i in range(nsh)]
+    zin = lax.ppermute(b, axis_name, perm)
+    return jnp.where(idx == 0, jnp.zeros_like(zin), zin)
+
+
 def shard_sosfilt(sos, g, x, mesh, time_axis="time", channel_axis=None):
-    """Time-sharded biquad cascade. Within each shard the recurrence
-    runs as the O(log n) associative scan; across shards only the
-    per-section 2-vector boundary states travel, chained with an
-    in-shard-computed transition (state-carry protocol, the distributed
-    analogue of DF2TFilter state, Filters/filt.jl:122-230)."""
-    from ..filters.filt import _biquad_apply
+    """Time-sharded biquad cascade via the stacked block state-space
+    pass (filters.filt._blockss_apply): each shard filters its block
+    from zero state in ONE fused pass, the (2*nsec, C) boundary states
+    chain across shards with a log-depth ppermute prefix
+    (_shard_affine_prefix), and the entering-state correction is the
+    zero-input response — a tiny powers-of-A chain plus one G matmul.
+    Distributed analogue of DF2TFilter state (Filters/filt.jl:122-230)
+    without the reference's sequential block walk."""
+    from ..filters.filt import (_blockss, _stack_cascade, _blockss_apply,
+                                _affine_rec)
     sos = np.asarray(sos, dtype=np.float64).reshape(-1, 5)
     x = jnp.asarray(x)
     nsec = sos.shape[0]
+    p = 2 * nsec
     cspec = () if (x.ndim == 1 or channel_axis is None) else (channel_axis,)
     spec = P(time_axis, *cspec)
 
@@ -175,44 +210,119 @@ def shard_sosfilt(sos, g, x, mesh, time_axis="time", channel_axis=None):
     if x.shape[0] % nsh:
         raise ValueError("signal length must divide the time shards")
 
-    # Host tables per section: zero-input responses yr_j[t] = (M^{t+1}
-    # e_j)[0] and the whole-shard transition T = M^{n_local}. Only the
-    # (2, C) boundary summaries travel over ICI (all_gather); each
-    # shard then corrects its zero-ic output by linearity.
-    from ..filters.filt import _companion_powers
-    tables = []
-    for k in range(nsec):
-        pw = _companion_powers([1.0, sos[k, 3], sos[k, 4]], n_local)
-        # zero-input output at step t is (M^t z_in)[0] (y_t = z1_{t-1})
-        tables.append((pw[:n_local, 0, 0].copy(),
-                       pw[:n_local, 0, 1].copy(), pw[n_local]))
+    ss = _blockss(*_stack_cascade(sos, float(g)))
+    # whole-shard transition T = A^n_local (host, binary exponentiation)
+    T_np = np.linalg.matrix_power(ss.A, n_local)
 
     @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec)
     def run(xs):
         flat = xs.reshape(xs.shape[0], -1)
-        idx = lax.axis_index(time_axis)
-        y = flat
-        for k in range(nsec):
-            z0 = jnp.zeros((2, y.shape[1]), y.dtype)
-            y0, v = _biquad_apply(*sos[k], y, z0)
-            yr1_np, yr2_np, T_np = tables[k]
-            if nsh > 1:
-                vs = lax.all_gather(v, time_axis)        # (nsh, 2, C)
-                tpows = jnp.asarray(
-                    np.stack([np.linalg.matrix_power(T_np, j)
-                              for j in range(nsh)])).astype(y.dtype)
-                zin = jnp.zeros_like(v)
-                for j in range(nsh - 1):
-                    p = jnp.clip(idx - 1 - j, 0, nsh - 1)
-                    term = jnp.einsum("ab,bc->ac", tpows[p], vs[j])
-                    zin = zin + jnp.where(j < idx, term,
-                                          jnp.zeros_like(term))
-                yr1 = jnp.asarray(yr1_np).astype(y.dtype)[:, None]
-                yr2 = jnp.asarray(yr2_np).astype(y.dtype)[:, None]
-                y = y0 + yr1 * zin[0][None, :] + yr2 * zin[1][None, :]
-            else:
-                y = y0
-        y = y * jnp.asarray(g, y.dtype)
-        return y.reshape(xs.shape)
+        dtype = flat.dtype
+        C = flat.shape[1]
+        z0 = jnp.zeros((p, C), dtype)
+        y0, v = _blockss_apply(ss, flat, z0, need_state=True)
+        if nsh == 1:
+            return y0.reshape(xs.shape)
+        zin = _shard_affine_prefix(T_np, v, time_axis, nsh)   # (p, C)
+        # zero-input response to the entering state: block-start states
+        # are AV^b zin (an affine recurrence with zero input), then one
+        # state-to-output matmul per block
+        V = ss.V
+        B = -(-n_local // V)
+        Zstart = _affine_rec(ss.AV, jnp.zeros((C, B, p), dtype), zin)
+        # _affine_rec returns states AFTER each step with z_{-1} = zin:
+        # with zero input, state after block b is AV^{b+1} zin; we need
+        # the state ENTERING block b, i.e. AV^b zin
+        Zstart = jnp.concatenate([zin.T[:, None, :], Zstart[:, :-1]],
+                                 axis=1)                  # (C, B, p)
+        Ycorr = jnp.einsum("cbp,vp->cbv", Zstart,
+                           jnp.asarray(ss.G).astype(dtype),
+                           precision=lax.Precision.HIGHEST)
+        ycorr = Ycorr.reshape(C, B * V)[:, :n_local].T
+        return (y0 + ycorr).reshape(xs.shape)
 
     return run(x)
+
+
+def shard_stft_pow(x, n, noverlap, window, mesh, time_axis="time",
+                   channel_axis=None, fs=1.0, onesided=True):
+    """Time-sharded spectrogram/STFT power: each shard computes the
+    windowed-segment PSDs of the segments *starting* inside it
+    (pulling the n-hop halo from its right neighbor, like shard_welch)
+    and keeps them — the output stays sharded over the segment axis
+    (axis 0 of the returned (nseg, nfreq, *chans) array), the natural
+    layout for downstream sharded reductions. Distributed form of the
+    reference segment loop (periodograms.jl:746-759,828-897)."""
+    x = jnp.asarray(x)
+    win = None if window is None else jnp.asarray(window)
+    hop = n - noverlap
+    ntime = int(np.prod([d for ax, d in zip(mesh.axis_names,
+                                            mesh.devices.shape)
+                         if ax == time_axis]))
+    nlocal = x.shape[0] // ntime
+    if x.shape[0] % ntime or nlocal % hop:
+        raise ValueError("signal length must split into time shards that "
+                         "are a multiple of hop = n - noverlap")
+    if noverlap > nlocal:
+        raise ValueError("noverlap (the cross-shard halo) must not exceed "
+                         "the local shard length")
+    norm2 = float(n) if win is None else float(jnp.sum(win ** 2))
+    nfreq = n // 2 + 1 if onesided else n
+    cspec = () if (x.ndim == 1 or channel_axis is None) else (channel_axis,)
+    in_spec = P(time_axis, *cspec)
+    out_spec = P(time_axis, None, *cspec)
+
+    @partial(shard_map, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec)
+    def run(xs):
+        halo_len = n - hop
+        nsh = lax.axis_size(time_axis)
+        if halo_len:
+            perm = [(i, (i - 1) % nsh) for i in range(nsh)]
+            halo = lax.ppermute(xs[:halo_len], time_axis, perm)
+            idx = lax.axis_index(time_axis)
+            halo = jnp.where(idx == nsh - 1, jnp.zeros_like(halo), halo)
+            xcat = jnp.concatenate([xs, halo], axis=0)
+        else:
+            xcat = xs
+        nseg = nlocal // hop
+        starts = jnp.arange(nseg) * hop
+        shard_idx = lax.axis_index(time_axis)
+        gstart = shard_idx * nlocal + starts
+        valid = (gstart + n <= x.shape[0]).astype(xcat.dtype)
+        q = -(-n // hop)
+        need = (nseg + q) * hop
+        xp = xcat if xcat.shape[0] >= need else jnp.pad(
+            xcat, [(0, need - xcat.shape[0])] + [(0, 0)] * (xcat.ndim - 1))
+        parts = [xp[j * hop: (nseg + j) * hop]
+                 .reshape((nseg, hop) + xcat.shape[1:]) for j in range(q)]
+        frames = jnp.concatenate(parts, axis=1)[:, :n]
+        if win is not None:
+            wshape = (1, n) + (1,) * (xcat.ndim - 1)
+            frames = frames * win.reshape(wshape)
+        F = (jnp.fft.rfft(frames, axis=1) if onesided
+             else jnp.fft.fft(frames, axis=1))
+        pw = jnp.abs(F) ** 2
+        scale = np.full(pw.shape[1], 1.0 / (fs * norm2))
+        if onesided:
+            scale[1:] *= 2.0
+            if n % 2 == 0:
+                scale[-1] /= 2.0
+        pw = pw * jnp.asarray(scale, pw.dtype).reshape(
+            (1, pw.shape[1]) + (1,) * (pw.ndim - 2))
+        return pw * valid.reshape((nseg,) + (1,) * (pw.ndim - 1))
+
+    pw = run(x)
+    freqs = (np.fft.rfftfreq(n, 1.0 / fs) if onesided
+             else np.fft.fftfreq(n, 1.0 / fs))
+    t = (np.arange(pw.shape[0]) * hop + n / 2) / fs
+    return pw, freqs, t
+
+
+def shard_spectrogram(x, n, noverlap, window, mesh, time_axis="time",
+                      channel_axis=None, fs=1.0):
+    """Sharded spectrogram (PSD mode); see shard_stft_pow. Segments
+    whose window would run past the global signal end are zero rows on
+    the owning shard (static SPMD shape), mirroring shard_welch's
+    masking."""
+    return shard_stft_pow(x, n, noverlap, window, mesh, time_axis,
+                          channel_axis, fs=fs, onesided=True)

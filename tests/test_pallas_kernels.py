@@ -54,3 +54,83 @@ def test_firfilter_pallas_flag(monkeypatch):
     monkeypatch.setattr(stream_filt, "USE_PALLAS", False)
     want = np.asarray(stream_filt.FIRFilter(h, Fraction(3, 2)).filt(x))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestSTFTKernel:
+    def test_frames_and_accum_vs_numpy(self):
+        from dsptpu.kernels.stft import stft_pow_pallas, bins_from_tile
+        n, C, nfft, hop = 5000, 2, 512, 256
+        x = rng.standard_normal((n, C)).astype(np.float32)
+        win = np.hanning(nfft).astype(np.float32)
+        k = (n - nfft) // hop + 1
+        frames = np.stack([x[b*hop:b*hop+nfft] for b in range(k)])
+        ref = np.abs(np.fft.fft(frames * win[None, :, None], axis=1)) ** 2
+        tile = stft_pow_pallas(jnp.asarray(x), win, nfft, hop, k,
+                               accumulate=False, TB=8, interpret=True)
+        got = np.asarray(bins_from_tile(tile, nfft, nfft))
+        np.testing.assert_allclose(got, ref.transpose(2, 0, 1),
+                                   rtol=1e-4, atol=1e-3 * ref.max())
+        acc = stft_pow_pallas(jnp.asarray(x), win, nfft, hop, k,
+                              accumulate=True, TB=8, interpret=True)
+        gacc = np.asarray(bins_from_tile(acc, nfft, nfft // 2 + 1))
+        racc = ref.sum(axis=0)[: nfft // 2 + 1]
+        np.testing.assert_allclose(gacc, racc.T, rtol=1e-4,
+                                   atol=1e-3 * racc.max())
+
+    def test_welch_pgram_forced_pallas(self, monkeypatch):
+        import dsptpu.ops.periodograms as pmod
+        from scipy import signal as sp
+        monkeypatch.setattr(pmod, "_PALLAS_STFT", True)
+        x = rng.standard_normal((20000, 2)).astype(np.float32)
+        win = np.asarray(dsptpu.windows.hanning(1024)).astype(np.float32)
+        p = dsptpu.welch_pgram(jnp.asarray(x), 1024, 512, window=win)
+        _, p_ref = sp.welch(x, axis=0, nperseg=1024, noverlap=512,
+                            window=win, detrend=False)
+        np.testing.assert_allclose(np.asarray(p.power), p_ref,
+                                   rtol=1e-4, atol=1e-5 * p_ref.max())
+
+    def test_spectrogram_forced_pallas(self, monkeypatch):
+        import dsptpu.ops.periodograms as pmod
+        from scipy import signal as sp
+        monkeypatch.setattr(pmod, "_PALLAS_STFT", True)
+        x = rng.standard_normal(30000).astype(np.float32)
+        win = np.asarray(dsptpu.windows.hanning(1024)).astype(np.float32)
+        sg = dsptpu.spectrogram(jnp.asarray(x), 1024, 512, window=win)
+        _, _, S = sp.spectrogram(x, nperseg=1024, noverlap=512, window=win,
+                                 detrend=False, mode="psd")
+        np.testing.assert_allclose(np.asarray(sg.power), S, rtol=1e-4,
+                                   atol=1e-5 * S.max())
+
+
+class TestBiirKernel:
+    def test_matches_xla_blockss(self):
+        from dsptpu.filters.filt import (_blockss, _single_ss,
+                                         _stack_cascade, _blockss_apply)
+        from dsptpu.kernels.biir import blockss_filt_pallas
+        from scipy import signal as sp
+        sos = sp.butter(8, 0.4, output="sos")
+        sos5 = np.column_stack([sos[:, :3], sos[:, 4:]])
+        ss = _blockss(*_stack_cascade(sos5, 1.0))
+        for n, C, TB in [(30011, 1, 4), (4096, 3, 8)]:
+            x = rng.standard_normal((n, C)).astype(np.float32)
+            z0 = jnp.asarray(
+                rng.standard_normal((ss.p, C)).astype(np.float32))
+            y_ref, _ = _blockss_apply(ss, jnp.asarray(x), z0,
+                                      need_state=False)
+            y_pal = blockss_filt_pallas(ss, jnp.asarray(x), z0, TB=TB,
+                                        interpret=True)
+            np.testing.assert_allclose(np.asarray(y_pal),
+                                       np.asarray(y_ref), rtol=1e-4,
+                                       atol=1e-5)
+
+    def test_filtfilt_forced_pallas(self, monkeypatch):
+        import importlib
+        ffmod = importlib.import_module("dsptpu.filters.filt")
+        monkeypatch.setattr(ffmod, "_PALLAS_IIR", True)
+        x = rng.standard_normal(20000).astype(np.float32)
+        f = dsptpu.filters.as_sos(
+            dsptpu.digitalfilter(dsptpu.Lowpass(0.3), dsptpu.Butterworth(6)))
+        got = np.asarray(dsptpu.filtfilt(f, jnp.asarray(x)))
+        monkeypatch.setattr(ffmod, "_PALLAS_IIR", False)
+        want = np.asarray(dsptpu.filtfilt(f, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

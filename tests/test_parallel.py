@@ -88,3 +88,46 @@ class TestShardSOS:
                                        channel_axis="channel"))
         want = sp.sosfilt(sos_sp, x, axis=0)
         np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+class TestShardSpectrogram:
+    def test_matches_spectrogram(self, mesh):
+        from dsptpu.parallel import shard_spectrogram
+        from dsptpu.ops.periodograms import spectrogram
+        n, noverlap = 128, 64
+        x = rng.standard_normal(4096)
+        win = np.asarray(windows.hanning(n))
+        pw, freqs, t = shard_spectrogram(x, n, noverlap, win, mesh)
+        ref = spectrogram(x, n, noverlap, window=win)
+        k = np.asarray(ref.power).shape[1]
+        # sharded output is (nseg_padded, nfreq); invalid rows are zero
+        got = np.asarray(pw)[:k]
+        np.testing.assert_allclose(got, np.asarray(ref.power).T,
+                                   rtol=1e-9, atol=1e-12)
+        assert np.all(np.asarray(pw)[k:] == 0)
+        np.testing.assert_allclose(freqs, np.asarray(ref.freq))
+
+    def test_multichannel(self, mesh2d):
+        from dsptpu.parallel import shard_spectrogram
+        from dsptpu.ops.periodograms import spectrogram
+        n, noverlap = 64, 32
+        x = rng.standard_normal((2048, 4))
+        win = np.asarray(windows.hamming(n))
+        pw, freqs, t = shard_spectrogram(x, n, noverlap, win, mesh2d,
+                                         channel_axis="channel")
+        ref = spectrogram(x, n, noverlap, window=win)
+        k = np.asarray(ref.power).shape[1]
+        np.testing.assert_allclose(np.asarray(pw)[:k],
+                                   np.moveaxis(np.asarray(ref.power), 0, 1),
+                                   rtol=1e-9, atol=1e-12)
+
+
+class TestShardSOSPrefix:
+    def test_long_cascade_many_shards(self, mesh):
+        # exercises the log-depth ppermute prefix with nsh=8
+        sos_sp = sp.butter(6, [0.2, 0.5], btype="band", output="sos")
+        ours = np.column_stack([sos_sp[:, :3], sos_sp[:, 4:]])
+        x = rng.standard_normal(8192)
+        got = np.asarray(shard_sosfilt(ours, 2.5, x, mesh))
+        want = sp.sosfilt(sos_sp, x) * 2.5
+        np.testing.assert_allclose(got, want, atol=1e-9)
