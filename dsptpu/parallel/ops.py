@@ -326,3 +326,106 @@ def shard_spectrogram(x, n, noverlap, window, mesh, time_axis="time",
     masking."""
     return shard_stft_pow(x, n, noverlap, window, mesh, time_axis,
                           channel_axis, fs=fs, onesided=True)
+
+
+def shard_resample(h, ratio, x, mesh, time_axis="time", channel_axis=None):
+    """Time-sharded streaming polyphase resample (rational ratio or
+    integer interp/decim): the distributed form of FIRFilter's
+    inputDeficit/history/phase state carry (reference
+    stream_filt.jl:443-467).
+
+    The stream state entering shard k after k*n_local consumed samples
+    has an O(1) closed form (the kernels' commit algebra), so every
+    shard's (deficit, phase) is host-precomputed; the per-shard phase
+    shift folds into a row-shifted banded tap matrix G_k (a sharded
+    operand), leaving one static-shape SPMD program: halo the
+    tapsPerPhi-1 history from the left neighbor, one block matmul, and
+    an output-count mask. The result equals chunked FIRFilter.filt
+    exactly, sample for sample.
+
+    Returns (y, out_counts): y is (nsh * out_max, *chans) sharded along
+    axis 0 with each shard's tail zero-padded to out_max; out_counts
+    gives the valid count per shard (use compact_shards to squeeze)."""
+    from fractions import Fraction
+    from ..filters.stream_filt import (FIRFilter, taps2pfb, outputlength,
+                                       _tap_dtype)
+    ratio = Fraction(ratio)
+    L, M = ratio.numerator, ratio.denominator
+    x = jnp.asarray(x)
+    h = np.asarray(h)
+    nsh = int(np.prod([d for ax, d in zip(mesh.axis_names,
+                                          mesh.devices.shape)
+                       if ax == time_axis]))
+    n_local = x.shape[0] // nsh
+    if x.shape[0] % nsh:
+        raise ValueError("signal length must divide the time shards")
+
+    # polyphase bank and per-shard entry state (host O(nsh))
+    pfb = taps2pfb(h, L)                    # (tapsPerPhi, L)
+    taps = pfb.shape[0]
+    hl = taps - 1                           # history halo length
+    pfb_t = pfb.T                           # (L, taps)
+    ref = FIRFilter(h, ratio if (L > 1 or M > 1) else 1)
+    states = []
+    k0 = ref.kernel
+    for k in range(nsh):
+        phi = getattr(k0, "phi_idx", 1)
+        deficit = k0.input_deficit if hasattr(k0, "input_deficit") else 1
+        states.append((deficit, phi))
+        out_k = (outputlength(n_local - deficit + 1, ratio, phi)
+                 if n_local >= deficit else 0)
+        k0.commit(n_local, out_k)
+    out_counts = np.array(
+        [max(outputlength(n_local - d + 1, ratio, p), 0)
+         if n_local >= d else 0 for d, p in states])
+    Bs = -(-out_counts // L)
+    Bmax = int(Bs.max())
+    out_max = Bmax * L
+    # per-shard G with the deficit folded in as a row shift (so the
+    # frame start is the static s0 = 0 for every shard)
+    Ws = []
+    Gs = []
+    for d, phi in states:
+        shift = d - 1
+        offs = [shift + (phi - 1 + M * p) // L for p in range(L)]
+        W = max(offs) + taps
+        G = np.zeros((W, L), dtype=pfb_t.dtype)
+        for p in range(L):
+            G[offs[p]: offs[p] + taps, p] = pfb_t[(phi - 1 + M * p) % L]
+        Ws.append(W)
+        Gs.append(G)
+    Wmax = max(Ws)
+    Gstack = np.stack([np.pad(G, ((0, Wmax - G.shape[0]), (0, 0)))
+                       for G in Gs])                       # (nsh, Wmax, L)
+    counts = out_counts.reshape(nsh, 1)
+
+    cspec = () if (x.ndim == 1 or channel_axis is None) else (channel_axis,)
+    spec = P(time_axis, *cspec)
+    dt = _tap_dtype(Gstack.dtype, x.dtype)
+    Gj = jnp.asarray(Gstack, dt)
+    cj = jnp.asarray(counts)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(spec, P(time_axis), P(time_axis)),
+             out_specs=P(time_axis, *cspec))
+    def run(xs, G, cnt):
+        halo = _right_shift_halo(xs[-hl:], time_axis) if hl else None
+        xcat = jnp.concatenate([halo, xs], axis=0) if hl else xs
+        from ..filters.stream_filt import _block_matmul
+        y = _block_matmul(xcat.astype(dt), G[0], 0, Bmax, M, Wmax,
+                          out_max)                        # (out_max, *ch)
+        j = jnp.arange(out_max).reshape((out_max,) + (1,) * (y.ndim - 1))
+        return jnp.where(j < cnt[0, 0], y, 0)
+
+    y = run(x, Gj, cj)
+    return y, out_counts
+
+
+def compact_shards(y, out_counts):
+    """Squeeze the per-shard zero padding out of a shard_resample
+    result: host-side index plan + one device take."""
+    nsh = len(out_counts)
+    out_max = y.shape[0] // nsh
+    idx = np.concatenate([k * out_max + np.arange(c)
+                          for k, c in enumerate(out_counts)])
+    return jnp.take(y, jnp.asarray(idx), axis=0)

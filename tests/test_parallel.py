@@ -131,3 +131,36 @@ class TestShardSOSPrefix:
         got = np.asarray(shard_sosfilt(ours, 2.5, x, mesh))
         want = sp.sosfilt(sos_sp, x) * 2.5
         np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+class TestShardResample:
+    @pytest.mark.parametrize("ratio", ["147/160", "3/2", "1/4", "5"])
+    def test_matches_firfilter(self, mesh, ratio):
+        from fractions import Fraction
+        from dsptpu.parallel.ops import shard_resample, compact_shards
+        from dsptpu.filters.stream_filt import FIRFilter
+        from dsptpu.filters import resample_filter
+        import jax.numpy as jnp
+        ratio = Fraction(ratio)
+        h = np.asarray(resample_filter(ratio))
+        x = rng.standard_normal(8000)
+        y, cnt = shard_resample(h, ratio, x, mesh)
+        got = np.asarray(compact_shards(y, cnt))
+        ref = np.asarray(FIRFilter(h, ratio).filt(jnp.asarray(x)))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-10)
+
+    def test_multichannel(self, mesh2d):
+        from fractions import Fraction
+        from dsptpu.parallel.ops import shard_resample, compact_shards
+        from dsptpu.filters.stream_filt import FIRFilter
+        from dsptpu.filters import resample_filter
+        import jax.numpy as jnp
+        ratio = Fraction(3, 2)
+        h = np.asarray(resample_filter(ratio))
+        x = rng.standard_normal((4000, 4))
+        y, cnt = shard_resample(h, ratio, x, mesh2d,
+                                channel_axis="channel")
+        got = np.asarray(compact_shards(y, cnt))
+        ref = np.asarray(FIRFilter(h, ratio).filt(jnp.asarray(x)))
+        np.testing.assert_allclose(got, ref, atol=1e-10)
