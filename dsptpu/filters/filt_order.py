@@ -14,7 +14,6 @@ bandstop edge optimization uses a bounded scalar minimizer.
 import math
 
 import numpy as np
-from scipy.optimize import minimize_scalar
 
 from .design import Lowpass, Highpass, Bandpass, Bandstop
 
@@ -90,6 +89,59 @@ def _bsf_warp(Wp, Ws):
     return min(abs(Wa[0]), abs(Wa[1]))
 
 
+def brent_min(f, a, b, xatol=1e-12, maxiter=200):
+    """Bounded scalar minimization on [a, b] by Brent's method (golden
+    section + successive parabolic interpolation), self-contained like
+    the reference's own brent (filt_order.jl:112-192). Returns the
+    minimizer x."""
+    golden = 0.5 * (3.0 - math.sqrt(5.0))
+    x = w = v = a + golden * (b - a)
+    fx = fw = fv = f(x)
+    d = e = b - a
+    for _ in range(maxiter):
+        m = 0.5 * (a + b)
+        tol = xatol + 4 * np.finfo(float).eps * abs(x)
+        if abs(x - m) <= 2 * tol - 0.5 * (b - a):
+            break
+        p = q = r = 0.0
+        if abs(e) > tol:
+            # fit a parabola through (v, fv), (w, fw), (x, fx)
+            r = (x - w) * (fx - fv)
+            q = (x - v) * (fx - fw)
+            p = (x - v) * q - (x - w) * r
+            q = 2.0 * (q - r)
+            if q > 0:
+                p = -p
+            q = abs(q)
+            r, e = e, d
+        if abs(p) < abs(0.5 * q * r) and q * (a - x) < p < q * (b - x):
+            d = p / q                       # parabolic step
+            u = x + d
+            if (u - a) < 2 * tol or (b - u) < 2 * tol:
+                d = tol if x < m else -tol
+        else:
+            e = (b if x < m else a) - x     # golden-section step
+            d = golden * e
+        u = x + (d if abs(d) >= tol else (tol if d > 0 else -tol))
+        fu = f(u)
+        if fu <= fx:
+            if u < x:
+                b = x
+            else:
+                a = x
+            v, fv, w, fw, x, fx = w, fw, x, fx, u, fu
+        else:
+            if u < x:
+                a = u
+            else:
+                b = u
+            if fu <= fw or w == x:
+                v, fv, w, fw = w, fw, u, fu
+            elif fu <= fv or v == x or v == w:
+                v, fv = u, fu
+    return x
+
+
 def _bsfmin(order_fn, Wp, Ws, Rp, Rs):
     """Adjust the bandstop passband edges toward the stopband to
     minimize the estimated order (reference bsfmin filt_order.jl:197-225)."""
@@ -98,18 +150,12 @@ def _bsfmin(order_fn, Wp, Ws, Rp, Rs):
     def cost_low(w):
         return order_fn(Rp, Rs, _bsf_warp((w, Wp[1]), Ws))
 
-    r1 = minimize_scalar(cost_low, bounds=(Wp[0], Ws[0] - delta),
-                         method="bounded",
-                         options={"xatol": 1e-12})
-    p1 = float(r1.x)
+    p1 = float(brent_min(cost_low, Wp[0], Ws[0] - delta, xatol=1e-12))
 
     def cost_high(w):
         return order_fn(Rp, Rs, _bsf_warp((p1, w), Ws))
 
-    r2 = minimize_scalar(cost_high, bounds=(Ws[1] + delta, Wp[1]),
-                         method="bounded",
-                         options={"xatol": 1e-12})
-    p2 = float(r2.x)
+    p2 = float(brent_min(cost_high, Ws[1] + delta, Wp[1], xatol=1e-12))
     return _bsf_warp((p1, p2), Ws), (p1, p2)
 
 

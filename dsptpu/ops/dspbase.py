@@ -264,7 +264,8 @@ def optimal_os_nfft(nu, nv):
 
 def _conv_fft_simple(u, v, outsize):
     """Single padded FFT (reference dspbase.jl:611-644). N-D capable."""
-    dtype = jnp.result_type(u.dtype, v.dtype)
+    from ..utils.fftutil import fftintype
+    dtype = fftintype(jnp.result_type(u.dtype, v.dtype))
     cplx = jnp.issubdtype(dtype, jnp.complexfloating)
     nffts = tuple(1 << (s - 1).bit_length() for s in outsize)
     axes = tuple(range(len(outsize)))
@@ -297,9 +298,10 @@ def _conv_os_1d(u, v, nfft=None):
     batched rFFT covers every block of every channel, channels ride as
     leading batch dims so the FFT runs on the innermost axis, and
     frames come from strided reshapes instead of gathers."""
+    from ..utils.fftutil import fftintype
     nu, nv = u.shape[0], v.shape[0]
     nout = nu + nv - 1
-    dtype = jnp.result_type(u.dtype, v.dtype)
+    dtype = fftintype(jnp.result_type(u.dtype, v.dtype))
     cplx = jnp.issubdtype(dtype, jnp.complexfloating)
     if nfft is None:
         nfft = optimal_os_nfft(nu, nv)
@@ -347,7 +349,8 @@ def _conv_os_nd(u, v, outsize):
     ONE rfftn over the trailing block axes, and memory stays
     O(prod(nu_d * nfft_d / L_d)) ~ a small multiple of the input
     instead of O(prod(outsize)) for the padded full FFT."""
-    dtype = jnp.result_type(u.dtype, v.dtype)
+    from ..utils.fftutil import fftintype
+    dtype = fftintype(jnp.result_type(u.dtype, v.dtype))
     cplx = jnp.issubdtype(dtype, jnp.complexfloating)
     nd = u.ndim
     nffts, Ls, Ks, blocked = [], [], [], []

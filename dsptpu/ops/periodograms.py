@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..utils.fftutil import nextfastfft
+from ..utils.fftutil import nextfastfft, fftintype
 from . import windows as _windows
 
 __all__ = [
@@ -267,6 +267,8 @@ def periodogram(s, onesided=None, nfft=None, fs=1.0, window=None,
     or a 2-D signal / radial variants (reference periodograms.jl:473-509).
     1-D signals may carry trailing channel dims (TPU extension)."""
     s = jnp.asarray(s)
+    if s.dtype != fftintype(s.dtype):
+        s = s.astype(fftintype(s.dtype))
     if s.ndim == 2:
         # matrix input = 2-D periodogram (reference periodograms.jl:473-509)
         if radialsum and radialavg:
@@ -385,6 +387,8 @@ def welch_pgram(s, n=None, noverlap=None, onesided=None, nfft=None, fs=1.0,
     periodograms.jl:647-759). Segment PSDs are computed as one batched
     rFFT and mean-reduced; trailing channel dims are batched."""
     s = jnp.asarray(s)
+    if s.dtype != fftintype(s.dtype):
+        s = s.astype(fftintype(s.dtype))
     is_real = not jnp.iscomplexobj(s)
     if config is None:
         if onesided is None:
@@ -430,6 +434,8 @@ def stft(s, n=None, noverlap=None, psdonly=False, onesided=None, nfft=None,
     (or PSD when psdonly) (reference periodograms.jl:839-897). One
     batched FFT over all segments."""
     s = jnp.asarray(s)
+    if s.dtype != fftintype(s.dtype):
+        s = s.astype(fftintype(s.dtype))
     is_real = not jnp.iscomplexobj(s)
     if onesided is None:
         onesided = is_real

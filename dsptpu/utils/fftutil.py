@@ -9,7 +9,8 @@ exact-output-length contracts in the reference depend on it).
 
 import math
 
-__all__ = ["nextfastfft", "nextpow2", "nextprod"]
+__all__ = ["nextfastfft", "nextpow2", "nextprod",
+           "fftintype", "fftouttype", "fftabs2type"]
 
 
 def nextprod(factors, n):
@@ -58,3 +59,42 @@ def nextpow2(n):
     if n <= 1:
         return 1
     return 1 << (n - 1).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# FFT dtype promotion policy (reference util.jl:92-104)
+# ---------------------------------------------------------------------------
+#
+# One policy used by conv / periodograms / hilbert so integer and
+# low-precision inputs promote consistently. The reference promotes
+# non-FFTW types to Float64/ComplexF64; here the accelerator-native
+# default is float32 (float64 only when x64 is enabled and the input
+# is already 64-bit).
+
+def fftintype(dtype):
+    """Element type an FFT input of `dtype` is computed in."""
+    import jax.numpy as jnp
+    dtype = jnp.dtype(dtype)
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        return dtype
+    if dtype in (jnp.float32, jnp.float64):
+        return dtype
+    if jnp.issubdtype(dtype, jnp.floating):  # f16/bf16 -> f32
+        return jnp.dtype(jnp.float32)
+    return jnp.dtype(jnp.result_type(dtype, jnp.float32))
+
+
+def fftouttype(dtype):
+    """Element type an FFT of `dtype` input returns."""
+    import jax.numpy as jnp
+    return jnp.dtype(jnp.result_type(fftintype(dtype), jnp.complex64))
+
+
+def fftabs2type(dtype):
+    """Real element type of |FFT|^2 for `dtype` input."""
+    import jax.numpy as jnp
+    t = fftintype(dtype)
+    if jnp.issubdtype(t, jnp.complexfloating):
+        return jnp.dtype(jnp.float64 if t == jnp.complex128
+                         else jnp.float32)
+    return t

@@ -10,7 +10,7 @@ direct analogue here: the polyphase streaming engine
 import numpy as np
 import jax.numpy as jnp
 
-from .fftutil import nextfastfft, nextpow2
+from .fftutil import nextfastfft, nextpow2, fftintype
 
 __all__ = [
     "hilbert", "db2pow", "db2amp", "pow2db", "amp2db", "rms", "rmsfft",
@@ -25,6 +25,8 @@ def hilbert(x):
     x = jnp.asarray(x)
     if jnp.iscomplexobj(x):
         raise ValueError("hilbert requires a real signal")
+    if x.dtype != fftintype(x.dtype):
+        x = x.astype(fftintype(x.dtype))
     n = x.shape[0]
     Xh = jnp.fft.rfft(x, axis=0)
     # bins 1 .. ceil(n/2)-1 are doubled; for even n the Nyquist bin

@@ -147,3 +147,34 @@ def test_unwrap_validation():
         unwrap(np.zeros((3, 3)))
     with pytest.raises(ValueError):
         unwrap(np.zeros((3, 3, 3)), dims=(0, 1))
+
+
+class TestFFTPromotion:
+    """One promotion policy for every FFT path (reference
+    util.jl:92-104)."""
+
+    def test_policy(self):
+        import jax.numpy as jnp
+        from dsptpu.utils.fftutil import fftintype, fftouttype, fftabs2type
+        assert fftintype(jnp.int32) == jnp.float32
+        assert fftintype(jnp.float16) == jnp.float32
+        assert fftintype(jnp.float32) == jnp.float32
+        assert fftintype(jnp.complex64) == jnp.complex64
+        assert fftouttype(jnp.int32) == jnp.complex64
+        assert fftouttype(jnp.float32) == jnp.complex64
+        assert fftabs2type(jnp.int16) == jnp.float32
+        assert fftabs2type(jnp.complex64) == jnp.float32
+
+    def test_int_inputs_promote(self):
+        import jax.numpy as jnp
+        import dsptpu
+        x = jnp.arange(64, dtype=jnp.int32)
+        p = dsptpu.periodogram(x)
+        assert jnp.issubdtype(p.power.dtype, jnp.floating)
+        h = dsptpu.utils.util.hilbert(x)
+        assert jnp.issubdtype(h.dtype, jnp.complexfloating)
+        y = dsptpu.conv(x, jnp.arange(5, dtype=jnp.int32),
+                        algorithm="fft_simple")
+        assert jnp.issubdtype(y.dtype, jnp.floating)
+        w = dsptpu.welch_pgram(x, 32, 16)
+        assert jnp.issubdtype(w.power.dtype, jnp.floating)
