@@ -110,10 +110,19 @@ def Chebyshev2(n, ripple):
 
 # --- elliptic machinery (Landen/Jacobi; Orfanidis formulation) -------------
 
-def _landen(k, niter=7):
+def _landen(k, kp=None, niter=7):
+    """Descending Landen sequence k_1..k_niter. When the complementary
+    modulus kp = k' is known (it is, throughout the elliptic design),
+    the pair recursion  k_{i+1} = (1-k'_i)/(1+k'_i),
+    k'_{i+1} = 2 sqrt(k'_i)/(1+k'_i)  is used: for k ~ 1 the naive
+    sqrt(1-k^2) loses half the significand to cancellation (~1e6 ULP
+    in the n=4 elliptic zeros), while the pair form is stable."""
     seq = np.empty(niter)
+    if kp is None:
+        kp = np.sqrt((1 - k) * (1 + k))
     for i in range(niter):
-        k = (k / (1 + np.sqrt(1 - k * k))) ** 2
+        k = (1 - kp) / (1 + kp)
+        kp = 2 * np.sqrt(kp) / (1 + kp)
         seq[i] = k
     return seq
 
@@ -164,15 +173,15 @@ def Elliptic(n, rp, rs):
 
     k1p_sq = 1 - k1 * k1
     k1p = np.sqrt(k1p_sq)
-    k1p_landen = _landen(k1p)
+    k1p_landen = _landen(k1p, kp=k1)
 
     kp = 1.0
     for i in range(1, n // 2 + 1):
         kp *= _sne((2.0 * i - 1) / n, k1p_landen)
     kp = k1p_sq ** (n / 2.0) * kp ** 4
 
-    k = np.sqrt(1 - kp * kp)
-    k_landen = _landen(k)
+    k = np.sqrt((1 - kp) * (1 + kp))
+    k_landen = _landen(k, kp=kp)
 
     v0 = (-1j / n * _asne(1j / eps_p, k1)).real  # asne of imaginary arg is imaginary
 
