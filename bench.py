@@ -268,5 +268,95 @@ def main():
     }), flush=True)
 
 
+_WORKER_SRC = r"""
+import json, os, sys, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+sys.path.insert(0, {repo!r})
+import dsptpu
+from scipy import signal as sp
+
+nch, n = 64, {n}
+rng = np.random.default_rng(int(sys.argv[1]))
+h = sp.firwin(127, 0.25).astype(np.float32)
+x = rng.standard_normal((n, nch)).astype(np.float32)
+xj, hj = jnp.asarray(x), jnp.asarray(h)
+win = np.asarray(dsptpu.windows.hanning(1024)).astype(np.float32)
+fir = jax.jit(lambda b, s: dsptpu.filt(b, s))
+welch = jax.jit(lambda s: dsptpu.power(
+    dsptpu.welch_pgram(s, 1024, 512, window=win)))
+fir(hj, xj).block_until_ready()
+welch(xj).block_until_ready()
+t0 = time.perf_counter()
+reps = 3
+for _ in range(reps):
+    fir(hj, xj).block_until_ready()
+    welch(xj).block_until_ready()
+dt = (time.perf_counter() - t0) / reps
+print(json.dumps({{"sps": 2 * n * nch / dt}}))
+"""
+
+
+def run_weak_scaling(max_hosts, n=2_000_000):
+    """Weak-scaling harness: each simulated host is a separate OS
+    process running the 64-channel FIR+Welch stream workload on its own
+    CPU devices (per-host problem size constant). Reports aggregate
+    samples/s and efficiency vs linear scaling from 1 host — the
+    measurable stand-in for the BASELINE 1->4 host target when no
+    multi-host hardware is attached (the channel-sharded layout has no
+    cross-host traffic; the time-sharded ops' halos are modeled below).
+    """
+    import os
+    import subprocess
+    repo = os.path.dirname(os.path.abspath(__file__))
+    src = _WORKER_SRC.format(repo=repo, n=n)
+    results = {}
+    for hosts in sorted({1, max_hosts}):
+        procs = []
+        t0 = time.perf_counter()
+        for i in range(hosts):
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env.pop("XLA_FLAGS", None)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", src, str(i)],
+                stdout=subprocess.PIPE, env=env))
+        rates = []
+        for p in procs:
+            out, _ = p.communicate()
+            rates.append(json.loads(out.splitlines()[-1])["sps"])
+        results[hosts] = sum(rates)
+        _log(f"hosts={hosts}: aggregate {sum(rates)/1e6:.1f} MS/s "
+             f"(per-host {np.mean(rates)/1e6:.1f})")
+    base = results[1]
+    eff = {h: r / (h * base) for h, r in results.items()}
+    for h in sorted(eff):
+        _log(f"weak-scaling efficiency {h} hosts: {100*eff[h]:.1f}%")
+    # projected cross-host traffic for the time-sharded ops on real
+    # hardware: per boundary, FIR/OS-conv halo = (ntaps-1) samples and
+    # sosfilt state = 2*nsec vectors per block — at a 64-ch 100 MS/s
+    # stream and 4096-tap halos every 0.1 s chunk, that is
+    # 64*4095*4 B / 0.1 s ~ 10.5 MB/s per boundary, < 0.05% of one
+    # ICI link (~4.8e10 B/s less-favourable DCN: ~1%), so projected
+    # hardware efficiency is compute-bound: >= 99%.
+    halo_bs = 64 * 4095 * 4 / 0.1
+    _log(f"projected halo traffic per boundary: {halo_bs/1e6:.1f} MB/s "
+         f"({100*halo_bs/4.8e10:.3f}% of one ICI link)")
+    print(json.dumps({
+        "metric": f"weak scaling efficiency {max_hosts} hosts "
+                  "(64ch FIR+Welch per host, process-isolated CPU)",
+        "value": round(eff[max_hosts], 4),
+        "unit": "efficiency",
+        "vs_baseline": round(eff[max_hosts] / 0.85, 3),
+        "extra": {"aggregate_sps": {str(k): round(v, 1)
+                                    for k, v in results.items()}},
+    }), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--hosts":
+        run_weak_scaling(int(sys.argv[2]))
+    else:
+        main()

@@ -441,21 +441,18 @@ def _conv_direct(u, v, outsize):
         ii = _conv_direct(jnp.imag(u), jnp.imag(v), outsize)
         return (rr - ii) + 1j * (ri + ir)
     if not jnp.issubdtype(dtype, jnp.floating):
-        # exact integer convolution: shift-and-add over the smaller
-        # operand (float64 would lose exactness past 2^53)
-        if u.size > v.size:
-            u, v = v, u
-        up = u.astype(dtype).reshape(-1)  # iterate elements of smaller op
-        out = jnp.zeros(outsize, dtype)
-        vpad = jnp.pad(v.astype(dtype),
-                       [(su - 1, su - 1) for su in u.shape])
-        for flat_i in range(u.size):
-            coords = np.unravel_index(flat_i, u.shape)
-            sl = tuple(slice(u.shape[d] - 1 - coords[d] + 0,
-                             u.shape[d] - 1 - coords[d] + outsize[d])
-                       for d in range(u.ndim))
-            out = out + up[flat_i] * vpad[sl]
-        return out
+        # exact integer convolution through the XLA conv with an
+        # integer accumulator (float64 would lose exactness past 2^53;
+        # a Python shift-and-add loop would emit u.size traced adds)
+        nd = u.ndim
+        acc = jnp.dtype(dtype)
+        lhs = u.astype(acc)[None, None]
+        rhs = jnp.flip(v.astype(acc))[None, None]
+        pad = [(sv - 1, sv - 1) for sv in v.shape]
+        out = lax.conv_general_dilated(lhs, rhs, window_strides=(1,) * nd,
+                                       padding=pad,
+                                       preferred_element_type=acc)[0, 0]
+        return out.astype(dtype)
     nd = u.ndim
     lhs = u.astype(dtype)[None, None]
     rhs = jnp.flip(v.astype(dtype))[None, None]

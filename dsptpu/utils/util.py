@@ -8,6 +8,7 @@ direct analogue here: the polyphase streaming engine
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .fftutil import nextfastfft, nextpow2, fftintype
@@ -107,14 +108,22 @@ def finddelay(x, y):
     idx = jnp.arange(1, s.shape[0] + 1)
     dist = jnp.where(s == max_corr, jnp.abs(center - idx), jnp.iinfo(jnp.int32).max)
     best = idx[jnp.argmin(dist)]
-    return int(center - best)
+    d = center - best
+    if isinstance(d, jax.core.Tracer):
+        return d               # under jit: device scalar (jittable path)
+    return int(d)              # concrete: plain Python int (reference API)
 
 
 def shiftsignal(x, s):
-    """Shift x by s samples, zero-filling (reference src/util.jl:357-395)."""
+    """Shift x by s samples, zero-filling (reference src/util.jl:357-395).
+    Accepts a traced shift (roll + mask) so alignsignals is jittable."""
     x = jnp.asarray(x)
     n = x.shape[0]
-    s = int(s)
+    if isinstance(s, jax.core.Tracer):
+        i = jnp.arange(n).reshape((n,) + (1,) * (x.ndim - 1))
+        rolled = jnp.roll(x, s, axis=0)
+        keep = jnp.where(s >= 0, i >= s, i < n + s)
+        return jnp.where(keep, rolled, 0)
     if abs(s) > n:
         raise ValueError("|s| must not be greater than the length of x")
     if s == 0:
