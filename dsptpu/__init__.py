@@ -30,7 +30,8 @@ from .ops.periodograms import (arraysplit, periodogram, welch_pgram,
                                tfr_time, fftshift_tfr)
 from .ops.multitaper import (MTConfig, MTSpectrogramConfig,
                          MTCrossSpectraConfig, MTCoherenceConfig,
-                         dpss_config, mt_pgram, mt_spectrogram,
+                         dpss_config, allocate_output,
+                         mt_pgram, mt_spectrogram,
                              mt_cross_power_spectra, mt_coherence,
                              coherence_from_cs)
 from .ops.lpc import lpc, arburg, levinson

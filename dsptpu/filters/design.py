@@ -23,6 +23,7 @@ from .coefficients import ZeroPoleGain, Biquad, as_zpk
 from ..ops.windows import kaiser as kaiser_window
 
 __all__ = [
+    "FilterType",
     "Butterworth", "Chebyshev1", "Chebyshev2", "Elliptic",
     "Lowpass", "Highpass", "Bandpass", "Bandstop", "ComplexBandpass",
     "analogfilter", "digitalfilter", "bilinear", "transform_prototype",
@@ -231,18 +232,22 @@ def _normalize_complex_freq(w, fs):
     return f
 
 
+class FilterType:
+    """Abstract response-type base (reference design.jl:5)."""
+
+
 @dataclass(frozen=True)
-class Lowpass:
+class Lowpass(FilterType):
     w: float
 
 
 @dataclass(frozen=True)
-class Highpass:
+class Highpass(FilterType):
     w: float
 
 
 @dataclass(frozen=True)
-class Bandpass:
+class Bandpass(FilterType):
     w1: float
     w2: float
 
@@ -252,7 +257,7 @@ class Bandpass:
 
 
 @dataclass(frozen=True)
-class Bandstop:
+class Bandstop(FilterType):
     w1: float
     w2: float
 
@@ -262,7 +267,7 @@ class Bandstop:
 
 
 @dataclass(frozen=True)
-class ComplexBandpass:
+class ComplexBandpass(FilterType):
     w1: float
     w2: float
 

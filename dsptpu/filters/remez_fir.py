@@ -26,13 +26,20 @@ import warnings
 
 import numpy as np
 
-__all__ = ["remez", "RemezFilterType"]
+__all__ = ["remez", "RemezFilterType", "filter_type_bandpass",
+           "filter_type_differentiator", "filter_type_hilbert"]
 
 
 class RemezFilterType:
     bandpass = "bandpass"
     differentiator = "differentiator"
     hilbert = "hilbert"
+
+
+# reference-named constants (remez_fir.jl:91)
+filter_type_bandpass = RemezFilterType.bandpass
+filter_type_differentiator = RemezFilterType.differentiator
+filter_type_hilbert = RemezFilterType.hilbert
 
 
 def _normalize_band_defs(numtaps, band_defs, desired, weight, Hz,

@@ -5,7 +5,8 @@ from .periodograms import (arraysplit, periodogram, welch_pgram, spectrogram,
                            Spectrogram, power, freq, tfr_time, fftshift_tfr)
 from .multitaper import (MTConfig, MTSpectrogramConfig,
                          MTCrossSpectraConfig, MTCoherenceConfig,
-                         dpss_config, mt_pgram, mt_spectrogram,
+                         dpss_config, allocate_output,
+                         mt_pgram, mt_spectrogram,
                          mt_cross_power_spectra, mt_coherence,
                          CrossPowerSpectra, Coherence, coherence_from_cs)
 from .lpc import lpc, arburg, levinson

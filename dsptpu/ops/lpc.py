@@ -14,7 +14,15 @@ import jax.numpy as jnp
 
 from .dspbase import xcorr
 
-__all__ = ["lpc", "arburg", "levinson"]
+__all__ = ["lpc", "arburg", "levinson", "LPCBurg", "LPCLevinson"]
+
+
+class LPCBurg:
+    """Method marker (reference lpc.jl:11); lpc(..., LPCBurg())."""
+
+
+class LPCLevinson:
+    """Method marker (reference lpc.jl:12); lpc(..., LPCLevinson())."""
 
 
 def arburg(x, p):
@@ -115,6 +123,10 @@ def lpc(x, p, method="burg"):
     94-98). Omits the implicit leading 1 (like the reference).
     method in {"burg", "levinson"}."""
     x = jnp.asarray(x)
+    if isinstance(method, LPCBurg) or method is LPCBurg:
+        method = "burg"
+    elif isinstance(method, LPCLevinson) or method is LPCLevinson:
+        method = "levinson"
     if method == "burg":
         a, err, _ = arburg(x, p)
         return a[1:], err

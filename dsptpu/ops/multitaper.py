@@ -21,7 +21,8 @@ from .windows import dpss, dpsseig
 from .periodograms import Periodogram, Spectrogram, _num_segments
 from ..utils.fftutil import nextfastfft
 
-__all__ = ["MTConfig", "MTSpectrogramConfig", "MTCrossSpectraConfig",
+__all__ = ["allocate_output",
+           "MTConfig", "MTSpectrogramConfig", "MTCrossSpectraConfig",
            "MTCoherenceConfig", "dpss_config", "mt_pgram", "mt_spectrogram",
            "mt_cross_power_spectra", "mt_coherence", "CrossPowerSpectra",
            "Coherence", "coherence_from_cs"]
@@ -375,3 +376,27 @@ def mt_coherence(signal, fs=1.0, demean=False, freq_range=None, nfft=None,
                                 freq_range=freq_range, nfft=nfft, nw=nw,
                                 ntapers=ntapers, window=window, config=config)
     return Coherence(coherence_from_cs(cs.power), cs.freq)
+
+
+def allocate_output(config):
+    """Pre-sized output array for a config (reference DSP.jl:12,
+    multitaper.jl:137,332,518,693). Under XLA the runtime owns output
+    buffers, so this exists for API parity: it returns a correctly
+    shaped/typed zeros array (useful for shape planning and as a
+    donation template)."""
+    import jax.numpy as jnp
+    from .periodograms import WelchConfig
+    if isinstance(config, MTConfig):
+        return jnp.zeros(len(config.freq))
+    if isinstance(config, MTSpectrogramConfig):
+        return jnp.zeros((len(config.mt_config.freq), len(config.time)))
+    if isinstance(config, MTCrossSpectraConfig):
+        return jnp.zeros((config.n_channels, config.n_channels,
+                          len(config.freq)), jnp.complex64)
+    if isinstance(config, MTCoherenceConfig):
+        n = config.cs_config.n_channels
+        return jnp.zeros((n, n, len(config.freq)))
+    if isinstance(config, WelchConfig):
+        nb = (config.nfft // 2 + 1) if config.onesided else config.nfft
+        return jnp.zeros(nb)
+    raise TypeError(f"no allocate_output for {type(config)}")

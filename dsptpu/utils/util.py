@@ -14,9 +14,26 @@ import jax.numpy as jnp
 from .fftutil import nextfastfft, nextpow2, fftintype
 
 __all__ = [
-    "hilbert", "db2pow", "db2amp", "pow2db", "amp2db", "rms", "rmsfft",
+    "hilbert", "db2pow", "db2amp", "pow2db", "amp2db", "dB", "dBa",
+    "rms", "rmsfft",
     "meanfreq", "shiftin", "finddelay", "shiftsignal", "alignsignals",
 ]
+
+
+class _DBconvert:
+    """`3 * dB == db2pow(3)` (reference util.jl:141-146)."""
+    def __rmul__(self, a):
+        return db2pow(a)
+
+
+class _DBaconvert:
+    """`3 * dBa == db2amp(3)` (reference util.jl:141-146)."""
+    def __rmul__(self, a):
+        return db2amp(a)
+
+
+dB = _DBconvert()
+dBa = _DBaconvert()
 
 
 def hilbert(x):
