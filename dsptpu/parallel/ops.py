@@ -29,7 +29,8 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 __all__ = ["shard_fir", "shard_fftfilt", "shard_welch", "shard_sosfilt",
-           "shard_stft_pow", "shard_spectrogram"]
+           "shard_stft_pow", "shard_spectrogram", "shard_mt_spectrogram",
+           "shard_resample", "compact_shards"]
 
 
 def _right_shift_halo(x_tail, axis_name):
@@ -429,3 +430,66 @@ def compact_shards(y, out_counts):
     idx = np.concatenate([k * out_max + np.arange(c)
                           for k, c in enumerate(out_counts)])
     return jnp.take(y, jnp.asarray(idx), axis=0)
+
+
+def shard_mt_spectrogram(x, config, n_overlap=None, mesh=None,
+                         time_axis="time", channel_axis=None):
+    """Time-sharded multitaper spectrogram: per-shard segment framing
+    with right-neighbor halo (as shard_stft_pow) and the taper-weighted
+    PSD reduction (ops.multitaper._mt_power) on each shard's segments.
+    `config` is an MTConfig (segment geometry) and n_overlap the
+    overlap in samples (default n>>1). Output stays sharded over the
+    segment axis: (nseg, nfreq, *chans); invalid tail rows are zero."""
+    from ..ops.multitaper import MTSpectrogramConfig, _mt_power
+    if isinstance(config, MTSpectrogramConfig):
+        n_overlap = config.n_overlap_samples
+        config = config.mt_config
+    x = jnp.asarray(x)
+    n = config.n_samples
+    if n_overlap is None:
+        n_overlap = n >> 1
+    hop = n - n_overlap
+    ntime = int(np.prod([d for ax, d in zip(mesh.axis_names,
+                                            mesh.devices.shape)
+                         if ax == time_axis]))
+    nlocal = x.shape[0] // ntime
+    if x.shape[0] % ntime or nlocal % hop:
+        raise ValueError("signal length must split into time shards that "
+                         "are a multiple of hop")
+    if n_overlap > nlocal:
+        raise ValueError("n_overlap (the cross-shard halo) must not "
+                         "exceed the local shard length")
+    cspec = () if (x.ndim == 1 or channel_axis is None) else (channel_axis,)
+    in_spec = P(time_axis, *cspec)
+    out_spec = P(time_axis, None, *cspec)
+
+    @partial(shard_map, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec)
+    def run(xs):
+        halo_len = n - hop
+        nsh = lax.axis_size(time_axis)
+        if halo_len:
+            perm = [(i, (i - 1) % nsh) for i in range(nsh)]
+            halo = lax.ppermute(xs[:halo_len], time_axis, perm)
+            idx = lax.axis_index(time_axis)
+            halo = jnp.where(idx == nsh - 1, jnp.zeros_like(halo), halo)
+            xcat = jnp.concatenate([xs, halo], axis=0)
+        else:
+            xcat = xs
+        nseg = nlocal // hop
+        starts = jnp.arange(nseg) * hop
+        shard_idx = lax.axis_index(time_axis)
+        gstart = shard_idx * nlocal + starts
+        valid = (gstart + n <= x.shape[0])
+        q = -(-n // hop)
+        need = (nseg + q) * hop
+        xp = xcat if xcat.shape[0] >= need else jnp.pad(
+            xcat, [(0, need - xcat.shape[0])] + [(0, 0)] * (xcat.ndim - 1))
+        parts = [xp[j * hop: (nseg + j) * hop]
+                 .reshape((nseg, hop) + xcat.shape[1:]) for j in range(q)]
+        frames = jnp.concatenate(parts, axis=1)[:, :n]   # (nseg, n, *ch)
+        frames = jnp.moveaxis(frames, 1, -1)             # (nseg, *ch, n)
+        pw = _mt_power(frames, config)                   # (nseg, *ch, nf)
+        pw = jnp.moveaxis(pw, -1, 1)                     # (nseg, nf, *ch)
+        return pw * valid.reshape((nseg,) + (1,) * (pw.ndim - 1))
+
+    return run(x)

@@ -164,3 +164,20 @@ class TestShardResample:
         got = np.asarray(compact_shards(y, cnt))
         ref = np.asarray(FIRFilter(h, ratio).filt(jnp.asarray(x)))
         np.testing.assert_allclose(got, ref, atol=1e-10)
+
+
+class TestShardMTSpectrogram:
+    def test_matches_mt_spectrogram(self, mesh):
+        from dsptpu.parallel import shard_mt_spectrogram
+        from dsptpu.ops.multitaper import MTConfig, mt_spectrogram
+        import jax.numpy as jnp
+        n, noverlap = 128, 64
+        x = rng.standard_normal(4096)
+        cfg = MTConfig.create(n, nw=2, nfft=n)
+        pw = shard_mt_spectrogram(x, cfg, noverlap, mesh)
+        ref = mt_spectrogram(jnp.asarray(x), config=cfg, n_overlap=noverlap)
+        k = np.asarray(ref.power).shape[1]
+        np.testing.assert_allclose(np.asarray(pw)[:k],
+                                   np.asarray(ref.power).T,
+                                   rtol=1e-9, atol=1e-12)
+        assert np.all(np.asarray(pw)[k:] == 0)
