@@ -102,24 +102,54 @@ def _kernel(q_hbm, twre, twim, w2re, w2im, wp, o_ref, scratch, sem, *,
         fid = jax.lax.broadcasted_iota(jnp.int32, (TB, 128), 0)
         keep = (b < nblocks - 1) | (fid < valid_last)
         planes = [jnp.where(keep, p, 0.0) for p in planes]
-    for k1 in range(N1):
+    def stage1(k1):
+        """First-stage DFT row k1 as tile adds; +-1 coefficients fold
+        into adds/subs (most of W_N1 is 0/+-1/+-i)."""
         bre = None
         bim = None
         for j1 in range(N1):
             c1, s1 = float(w1re[k1, j1]), float(w1im[k1, j1])
             if abs(c1) > 1e-12:
-                t = planes[j1] if abs(c1 - 1.0) < 1e-12 else planes[j1] * c1
-                bre = t if bre is None else bre + t
+                if abs(c1 - 1.0) < 1e-12:
+                    bre = planes[j1] if bre is None else bre + planes[j1]
+                elif abs(c1 + 1.0) < 1e-12:
+                    bre = -planes[j1] if bre is None else bre - planes[j1]
+                else:
+                    t = planes[j1] * c1
+                    bre = t if bre is None else bre + t
             if abs(s1) > 1e-12:
-                t = planes[j1] if abs(s1 - 1.0) < 1e-12 else planes[j1] * s1
-                bim = t if bim is None else bim + t
-        if bre is None:
-            bre = jnp.zeros((TB, 128), jnp.float32)
-        if bim is None:
-            bim = jnp.zeros((TB, 128), jnp.float32)
-        # twiddle (elementwise, row k1 of the table broadcast over frames)
-        cre = bre * twre[k1, :][None, :] - bim * twim[k1, :][None, :]
-        cim = bre * twim[k1, :][None, :] + bim * twre[k1, :][None, :]
+                if abs(s1 - 1.0) < 1e-12:
+                    bim = planes[j1] if bim is None else bim + planes[j1]
+                elif abs(s1 + 1.0) < 1e-12:
+                    bim = -planes[j1] if bim is None else bim - planes[j1]
+                else:
+                    t = planes[j1] * s1
+                    bim = t if bim is None else bim + t
+        zero = lambda: jnp.zeros((TB, 128), jnp.float32)
+        return (bre if bre is not None else zero(),
+                bim if bim is not None else zero())
+
+    # real input planes: B[N1-k1] = conj(B[k1]) — compute the first
+    # stage only for k1 <= N1/2 and fold the conjugation's sign into
+    # the twiddle combine (no extra tile ops)
+    cache = {}
+    for k1 in range(N1):
+        mirrored = k1 > N1 // 2
+        if not mirrored:
+            bre, bim = stage1(k1)
+            cache[k1] = (bre, bim)
+        else:
+            bre, bim = cache[N1 - k1]
+        # twiddle (elementwise, row k1 broadcast over frames); for the
+        # mirrored half bim carries an implicit -1 folded into the signs
+        tr = twre[k1, :][None, :]
+        ti = twim[k1, :][None, :]
+        if not mirrored:
+            cre = bre * tr - bim * ti
+            cim = bre * ti + bim * tr
+        else:
+            cre = bre * tr + bim * ti
+            cim = bre * ti - bim * tr
         # long-stage DFT on the MXU
         dre = dot(cre, w2re) - dot(cim, w2im)
         dim = dot(cre, w2im) + dot(cim, w2re)
