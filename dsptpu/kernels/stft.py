@@ -260,9 +260,9 @@ def _stft_pow_jit(x, wp, nfft, hop, nframes, accumulate,
 
 def bins_from_tile(tile, nfft, nbins):
     """Reorder the (..., N1, 128) four-step tile into DFT bin order
-    k = 0..nbins-1 (tiny XLA epilogue)."""
-    N1 = nfft // 128
-    flat = tile.reshape(tile.shape[:-2] + (N1 * 128,))
-    k = np.arange(nbins)
-    idx = (k % N1) * 128 + (k // N1)
-    return flat[..., jnp.asarray(idx)]
+    k = 0..nbins-1. Bin k lives at (k1, k2) = (k % N1, k // N1), so the
+    permutation is exactly the tile transpose: transposing to
+    (..., 128, N1) and flattening gives index k2*N1 + k1 == k — a pure
+    XLA transpose (bandwidth-speed), NOT a lane gather."""
+    flat = jnp.swapaxes(tile, -2, -1).reshape(tile.shape[:-2] + (nfft,))
+    return flat[..., :nbins]
