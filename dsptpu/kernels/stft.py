@@ -82,13 +82,16 @@ def _kernel(q_hbm, twre, twim, w2re, w2im, wp, o_ref, scratch, sem, *,
     block when accum, else (1, 1, N1, TB, 128) per-frame block."""
     c = pl.program_id(0)
     b = pl.program_id(1)
+    # start every plane DMA, then wait: copies overlap instead of
+    # serializing hr round trips
     for m in range(hr):
         pltpu.make_async_copy(
             q_hbm.at[pl.ds((c * hr + m) * nrq + b * TB, pad), :],
-            scratch.at[m], sem).start()
+            scratch.at[m], sem.at[m]).start()
+    for m in range(hr):
         pltpu.make_async_copy(
             q_hbm.at[pl.ds((c * hr + m) * nrq + b * TB, pad), :],
-            scratch.at[m], sem).wait()
+            scratch.at[m], sem.at[m]).wait()
 
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=prec)
@@ -169,7 +172,7 @@ def _kernel(q_hbm, twre, twim, w2re, w2im, wp, o_ref, scratch, sem, *,
 
 
 def stft_pow_pallas(x, win, nfft, hop, nframes, accumulate=False,
-                    precision="highest", TB=256, interpret=False):
+                    precision="highest", TB=512, interpret=False):
     """Fused windowed-segment power spectra on TPU.
 
     x: (n,) or (n, C) real f32 signal (time-major); win: (nfft,) HOST
@@ -247,7 +250,7 @@ def _stft_pow_jit(x, wp, nfft, hop, nframes, accumulate,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((hr, pad, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((hr,)),
         ],
         interpret=interpret,
     )(q, *tab)

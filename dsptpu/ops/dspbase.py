@@ -318,13 +318,20 @@ def _conv_os_1d(u, v, nfft=None):
     up = jnp.pad(uc, pad)
 
     frames = _os_frames(up, K, L, nfft)          # (*chans, K, nfft)
+    # long transforms in f32 run as four-step MXU matmuls (mxfft);
+    # float64 (CPU parity) and short sizes keep the native FFT
+    from . import mxfft
+    use_mx = (mxfft.mx_supported(nfft)
+              and jnp.dtype(dtype) in (jnp.dtype(jnp.float32),
+                                       jnp.dtype(jnp.complex64)))
+    fftm = mxfft if use_mx else jnp.fft
     if cplx:
-        H = jnp.fft.fft(v.astype(dtype), n=nfft)
-        y = jnp.fft.ifft(jnp.fft.fft(frames, axis=-1) * H, axis=-1)
+        H = fftm.fft(v.astype(dtype), n=nfft)
+        y = fftm.ifft(fftm.fft(frames, n=nfft, axis=-1) * H, axis=-1)
     else:
-        H = jnp.fft.rfft(v.astype(dtype), n=nfft)
-        y = jnp.fft.irfft(jnp.fft.rfft(frames, axis=-1) * H, n=nfft,
-                          axis=-1)
+        H = fftm.rfft(v.astype(dtype), n=nfft)
+        y = fftm.irfft(fftm.rfft(frames, n=nfft, axis=-1) * H, n=nfft,
+                       axis=-1)
     y = y[..., nv - 1:]                          # (*chans, K, L) valid part
     y = y.reshape(u.shape[1:] + (K * L,))[..., :nout]
     return jnp.moveaxis(y, -1, 0).astype(dtype)

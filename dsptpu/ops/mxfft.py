@@ -1,0 +1,131 @@
+"""Matmul (MXU) FFT for large power-of-two sizes.
+
+XLA's TPU FFT underperforms both rooflines for the long transforms the
+overlap-save convolution path needs (measured ~2.6 G-point/s on v5e at
+nfft = 16384, ~1% of HBM roofline end to end). For those sizes this
+module runs the classic four-step Cooley-Tukey factorization n = L1*L2
+as two dense complex einsums — (B*L1, L2) @ (L2, L2) shapes the MXU
+tiles perfectly — plus a twiddle multiply and one transpose:
+
+    x[j2 + L2*j1]  --W_L1 over j1-->  * T[k1, j2]  --W_L2 over j2-->
+    X[k1 + L1*k2]
+
+Used by dspbase._conv_os_1d (and anything else) through fft/ifft/
+rfft/irfft with a size gate; other sizes fall through to jnp.fft.
+Accuracy: float32 matmuls at Precision.HIGHEST give ~1e-6 relative
+error like a float32 FFT.
+
+Reference role: FFTW replacement for the conv hot path
+(dspbase.jl:583-606); the design is TPU-first, not a port.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["fft", "ifft", "rfft", "irfft", "mx_supported"]
+
+# four-step pays off where the XLA FFT falls off a cliff; below this
+# size the native FFT wins (measured v5e crossover)
+_MIN_N = 8192
+_MAX_FACTOR = 512
+
+
+def _split(n):
+    """n = L1 * L2 with both factors pow2 and as square as possible."""
+    l1 = 1 << ((n.bit_length() - 1) // 2)
+    return l1, n // l1
+
+
+def mx_supported(n):
+    if n < _MIN_N or n & (n - 1):
+        return False
+    l1, l2 = _split(n)
+    return l1 <= _MAX_FACTOR and l2 <= _MAX_FACTOR
+
+
+_tab_cache = {}
+
+
+def _tables(n):
+    hit = _tab_cache.get(n)
+    if hit is None:
+        l1, l2 = _split(n)
+        w1 = np.exp(-2j * np.pi * np.outer(np.arange(l1), np.arange(l1))
+                    / l1).astype(np.complex64)
+        w2 = np.exp(-2j * np.pi * np.outer(np.arange(l2), np.arange(l2))
+                    / l2).astype(np.complex64)
+        tw = np.exp(-2j * np.pi * np.outer(np.arange(l1), np.arange(l2))
+                    / n).astype(np.complex64)
+        hit = (l1, l2, w1, w2, tw)
+        if len(_tab_cache) > 64:
+            _tab_cache.clear()
+        _tab_cache[n] = hit
+    return hit
+
+
+def fft(x, n=None, axis=-1):
+    """Complex FFT along `axis` via the four-step matmul factorization
+    (falls back to jnp.fft.fft when unsupported)."""
+    x = jnp.asarray(x)
+    ln = x.shape[axis] if n is None else int(n)
+    if not mx_supported(ln):
+        return jnp.fft.fft(x, n=n, axis=axis)
+    x = jnp.moveaxis(x, axis, -1)
+    if x.shape[-1] < ln:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, ln - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    elif x.shape[-1] > ln:
+        x = x[..., :ln]
+    x = x.astype(jnp.complex64)
+    l1, l2, w1, w2, tw = _tables(ln)
+    lead = x.shape[:-1]
+    v = x.reshape(lead + (l1, l2))
+    # stage 1: DFT over j1 (contraction with W_L1)
+    v = jnp.einsum("...ij,ki->...kj", v, jnp.asarray(w1),
+                   precision=lax.Precision.HIGHEST)
+    # twiddle
+    v = v * jnp.asarray(tw)
+    # stage 2: DFT over j2
+    v = jnp.einsum("...kj,lj->...kl", v, jnp.asarray(w2),
+                   precision=lax.Precision.HIGHEST)
+    # bin order: X[k1 + L1*k2] -> transpose (k1, k2) -> (k2, k1)
+    out = jnp.swapaxes(v, -2, -1).reshape(lead + (ln,))
+    return jnp.moveaxis(out, -1, axis)
+
+
+def ifft(x, n=None, axis=-1):
+    x = jnp.asarray(x)
+    ln = x.shape[axis] if n is None else int(n)
+    if not mx_supported(ln):
+        return jnp.fft.ifft(x, n=n, axis=axis)
+    return jnp.conj(fft(jnp.conj(x), n=ln, axis=axis)) / ln
+
+
+def rfft(x, n=None, axis=-1):
+    """Real-input FFT (first n//2+1 bins). Runs the complex four-step
+    on the realified input; the 2x arithmetic redundancy is still far
+    cheaper than the native FFT at these sizes."""
+    x = jnp.asarray(x)
+    ln = x.shape[axis] if n is None else int(n)
+    if not mx_supported(ln) or jnp.iscomplexobj(x):
+        return jnp.fft.rfft(x, n=n, axis=axis)
+    full = fft(x, n=ln, axis=axis)
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, ln // 2 + 1)
+    return full[tuple(sl)]
+
+
+def irfft(x, n=None, axis=-1):
+    """Inverse of rfft (real output length n)."""
+    x = jnp.asarray(x)
+    nb = x.shape[axis]
+    ln = 2 * (nb - 1) if n is None else int(n)
+    if not mx_supported(ln):
+        return jnp.fft.irfft(x, n=n, axis=axis)
+    xm = jnp.moveaxis(x, axis, -1)[..., :ln // 2 + 1]
+    # rebuild the conjugate-symmetric spectrum
+    tail = jnp.conj(xm[..., -2:0:-1])
+    full = jnp.concatenate([xm, tail], axis=-1)
+    out = jnp.real(jnp.conj(fft(jnp.conj(full), n=ln, axis=-1))) / ln
+    return jnp.moveaxis(out, -1, axis)
