@@ -181,3 +181,36 @@ def test_jit_compatible():
     u = jnp.asarray(np.random.default_rng(1).normal(size=1000))
     v = jnp.asarray(np.random.default_rng(2).normal(size=100))
     np.testing.assert_allclose(g(u, v), np.convolve(u, v), rtol=1e-9, atol=1e-9)
+
+
+class TestMxFFT:
+    """Four-step matmul FFT (ops/mxfft.py) against numpy."""
+
+    rng = np.random.default_rng(42)
+
+    @pytest.mark.parametrize("n", [8192, 32768])
+    def test_fft_ifft(self, n):
+        from dsptpu.ops import mxfft
+        assert mxfft.mx_supported(n)
+        x = (self.rng.standard_normal(n)
+             + 1j * self.rng.standard_normal(n)).astype(np.complex64)
+        got = np.asarray(mxfft.fft(jnp.asarray(x)))
+        ref = np.fft.fft(x)
+        assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-5
+        back = np.asarray(mxfft.ifft(jnp.asarray(got)))
+        assert np.max(np.abs(back - x)) < 1e-4
+
+    def test_rfft_irfft_batched(self):
+        from dsptpu.ops import mxfft
+        x = self.rng.standard_normal((3, 16384)).astype(np.float32)
+        got = np.asarray(mxfft.rfft(jnp.asarray(x), axis=-1))
+        ref = np.fft.rfft(x, axis=-1)
+        assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-5
+        y = np.asarray(mxfft.irfft(jnp.asarray(got), n=16384, axis=-1))
+        assert np.max(np.abs(y - x)) < 1e-4
+
+    def test_unsupported_falls_back(self):
+        from dsptpu.ops import mxfft
+        x = self.rng.standard_normal(1000)
+        np.testing.assert_allclose(np.asarray(mxfft.fft(jnp.asarray(x))),
+                                   np.fft.fft(x), rtol=1e-9, atol=1e-9)
