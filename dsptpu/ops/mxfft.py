@@ -19,7 +19,10 @@ Reference role: FFTW replacement for the conv hot path
 (dspbase.jl:583-606); the design is TPU-first, not a port.
 """
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -66,11 +69,17 @@ def _tables(n):
 
 def fft(x, n=None, axis=-1):
     """Complex FFT along `axis` via the four-step matmul factorization
-    (falls back to jnp.fft.fft when unsupported)."""
+    (falls back to jnp.fft.fft when unsupported). The four-step body is
+    jitted: some backends cannot run complex einsums eagerly."""
     x = jnp.asarray(x)
     ln = x.shape[axis] if n is None else int(n)
     if not mx_supported(ln):
         return jnp.fft.fft(x, n=n, axis=axis)
+    return _fft_jit(x, ln, axis)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _fft_jit(x, ln, axis):
     x = jnp.moveaxis(x, axis, -1)
     if x.shape[-1] < ln:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, ln - x.shape[-1])]
