@@ -47,7 +47,7 @@ except Exception:  # pragma: no cover
     pallas_available = False
 
 __all__ = ["stft_pow_pallas", "stft_supported", "bins_from_tile",
-           "pallas_available"]
+           "onesided_bins_from_tile", "pallas_available"]
 
 
 def stft_supported(nfft, hop, dtype):
@@ -75,11 +75,14 @@ def _tables(nfft, N1, win):
 
 
 def _kernel(q_hbm, twre, twim, w2re, w2im, wp, o_ref, scratch, sem, *,
-            w1re, w1im, TB, N1, hr, nrq, pad, nblocks, prec, accum,
-            valid_last):
+            w1re, w1im, TB, N1, rows, hr, nrq, pad, nblocks, prec,
+            accum, valid_last):
     """Grid (C, nblocks). q_hbm: (C*hr*nrq, 128) flattened row planes;
-    scratch (hr, pad, 128). o_ref: (1, 1, N1, 128) PSD accumulator
-    block when accum, else (1, 1, N1, TB, 128) per-frame block."""
+    scratch (hr, pad, 128). o_ref: (1, 1, rows, 128) PSD accumulator
+    block when accum, else (1, 1, N1, TB, 128) per-frame block. For a
+    one-sided PSD only rows = N1//2 + 1 k1-rows are emitted: real
+    input gives |X[k]| = |X[nfft-k]|, and bin nfft-k lives at
+    (N1-k1, 127-k2) — the mirrored half is pure duplication."""
     c = pl.program_id(0)
     b = pl.program_id(1)
     # start every plane DMA, then wait: copies overlap instead of
@@ -136,7 +139,7 @@ def _kernel(q_hbm, twre, twim, w2re, w2im, wp, o_ref, scratch, sem, *,
     # stage only for k1 <= N1/2 and fold the conjugation's sign into
     # the twiddle combine (no extra tile ops)
     cache = {}
-    for k1 in range(N1):
+    for k1 in range(rows):
         mirrored = k1 > N1 // 2
         if not mirrored:
             bre, bim = stage1(k1)
@@ -172,7 +175,8 @@ def _kernel(q_hbm, twre, twim, w2re, w2im, wp, o_ref, scratch, sem, *,
 
 
 def stft_pow_pallas(x, win, nfft, hop, nframes, accumulate=False,
-                    precision="highest", TB=512, interpret=False):
+                    precision="highest", TB=512, onesided=False,
+                    interpret=False):
     """Fused windowed-segment power spectra on TPU.
 
     x: (n,) or (n, C) real f32 signal (time-major); win: (nfft,) HOST
@@ -180,20 +184,24 @@ def stft_pow_pallas(x, win, nfft, hop, nframes, accumulate=False,
     b < nframes. Returns DFT bin powers in the four-step tile layout
     (see bins_from_tile):
       accumulate=False: (C, nframes, N1, 128) per-frame |X|^2
-      accumulate=True:  (C, N1, 128) sum over frames (Welch numerator)
+      accumulate=True:  (C, rows, 128) sum over frames (Welch
+        numerator), rows = N1//2+1 when onesided (use
+        onesided_bins_from_tile) else N1
     """
     N1 = nfft // 128
     wp = (np.asarray(win, np.float64).reshape(N1, 128) if win is not None
           else np.ones((N1, 128))).astype(np.float32)
     return _stft_pow_jit(x, jnp.asarray(wp), nfft, hop, nframes,
-                         accumulate, precision, TB, interpret)
+                         accumulate, precision, TB,
+                         bool(onesided and accumulate), interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("nfft", "hop", "nframes",
                                              "accumulate", "precision",
-                                             "TB", "interpret"))
+                                             "TB", "onesided",
+                                             "interpret"))
 def _stft_pow_jit(x, wp, nfft, hop, nframes, accumulate,
-                  precision, TB, interpret):
+                  precision, TB, onesided, interpret):
     if x.ndim == 1:
         x = x[:, None]
     n, C = x.shape
@@ -217,9 +225,11 @@ def _stft_pow_jit(x, wp, nfft, hop, nframes, accumulate,
     w1re, w1im, twre, twim, w2re, w2im, _ = _tables(nfft, N1, None)
     tab = [jnp.asarray(t) for t in (twre, twim, w2re, w2im)] + [wp]
 
+    rows = N1 // 2 + 1 if onesided else N1
     if accumulate:
-        out_shape = (C, 1, N1, 128)
-        out_specs = pl.BlockSpec((1, 1, N1, 128), lambda c, b: (c, 0, 0, 0),
+        out_shape = (C, 1, rows, 128)
+        out_specs = pl.BlockSpec((1, 1, rows, 128),
+                                 lambda c, b: (c, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
         out_shape = (C, nblocks, N1, TB, 128)
@@ -229,8 +239,8 @@ def _stft_pow_jit(x, wp, nfft, hop, nframes, accumulate,
 
     out = pl.pallas_call(
         functools.partial(_kernel, w1re=w1re, w1im=w1im, TB=TB, N1=N1,
-                          hr=hr, nrq=nrq, pad=pad, nblocks=nblocks,
-                          prec=prec, accum=accumulate,
+                          rows=rows, hr=hr, nrq=nrq, pad=pad,
+                          nblocks=nblocks, prec=prec, accum=accumulate,
                           valid_last=valid_last),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         grid=(C, nblocks),
@@ -259,6 +269,21 @@ def _stft_pow_jit(x, wp, nfft, hop, nframes, accumulate,
     # (C, nblocks, N1, TB, 128) -> (C, frames, N1, 128)
     out = jnp.swapaxes(out, 2, 3).reshape(C, nblocks * TB, N1, 128)
     return out[:, :nframes]
+
+
+def onesided_bins_from_tile(tile, nfft, nbins):
+    """Bin order for the rows = N1//2+1 one-sided accumulator tile:
+    bin k is at (k1, k2) when k1 = k %% N1 <= N1/2, else at the mirror
+    (N1-k1, 127-k2) (real-input symmetry |X[k]| = |X[nfft-k]|)."""
+    N1 = nfft // 128
+    rows = N1 // 2 + 1
+    flat = tile.reshape(tile.shape[:-2] + (rows * 128,))
+    k = np.arange(nbins)
+    k1 = k % N1
+    k2 = k // N1
+    idx = np.where(k1 <= N1 // 2, k1 * 128 + k2,
+                   (N1 - k1) * 128 + (127 - k2))
+    return flat[..., jnp.asarray(idx)]
 
 
 def bins_from_tile(tile, nfft, nbins):

@@ -222,11 +222,15 @@ def _pallas_stft_ok(s, n, nfft, hop):
         return False
 
 
-def _pallas_seg_pow(s, n, noverlap, nfft, win, accumulate):
+def _pallas_seg_pow(s, n, noverlap, nfft, win, accumulate,
+                    onesided=False):
     """Per-frame (or frame-summed) |DFT|^2 via the fused kernel.
-    s: (len, *chans); returns (k, nfft_bins_full, *chans) powers or,
-    when accumulate, (nfft_bins_full, *chans) frame sums."""
-    from ..kernels.stft import stft_pow_pallas, bins_from_tile
+    s: (len, *chans); returns (k, nbins, *chans) powers or, when
+    accumulate, (nbins, *chans) frame sums — nbins = nfft//2+1 in the
+    one-sided accumulate mode (the kernel skips the mirrored half),
+    else nfft."""
+    from ..kernels.stft import (stft_pow_pallas, bins_from_tile,
+                                onesided_bins_from_tile)
     hop = n - noverlap
     k = _num_segments(s.shape[0], n, noverlap)
     flat = s.reshape(s.shape[0], -1)                  # (len, C)
@@ -237,10 +241,14 @@ def _pallas_seg_pow(s, n, noverlap, nfft, win, accumulate):
     except Exception:
         interp = True
     tile = stft_pow_pallas(flat, wext, nfft, hop, k,
-                           accumulate=accumulate, interpret=interp)
-    pw = bins_from_tile(tile, nfft, nfft)             # (C, [k,] nfft)
+                           accumulate=accumulate,
+                           onesided=onesided, interpret=interp)
     if accumulate:
-        return jnp.moveaxis(pw, 0, -1).reshape((nfft,) + s.shape[1:])
+        nb = nfft // 2 + 1 if onesided else nfft
+        pw = (onesided_bins_from_tile(tile, nfft, nb) if onesided
+              else bins_from_tile(tile, nfft, nb))
+        return jnp.moveaxis(pw, 0, -1).reshape((nb,) + s.shape[1:])
+    pw = bins_from_tile(tile, nfft, nfft)             # (C, k, nfft)
     out = jnp.moveaxis(pw, 0, -1)                     # (k, nfft, C)
     return out.reshape((k, nfft) + s.shape[1:])
 
@@ -406,7 +414,8 @@ def welch_pgram(s, n=None, noverlap=None, onesided=None, nfft=None, fs=1.0,
     if _pallas_stft_ok(s, config.nsamples, config.nfft,
                        config.nsamples - config.noverlap):
         psum = _pallas_seg_pow(s, config.nsamples, config.noverlap,
-                               config.nfft, win, accumulate=True)
+                               config.nfft, win, accumulate=True,
+                               onesided=config.onesided)
         wts = _psd_weights(config.nfft, k * config.fs * norm2,
                            config.onesided)
         nbins = len(wts)
