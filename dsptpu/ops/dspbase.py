@@ -308,11 +308,20 @@ def _conv_os_1d(u, v, nfft=None):
     elif nfft < nv:
         raise ValueError("nfft must be at least the filter length")
     L = nfft - nv + 1
+    # lane-align the block advance: a misaligned L makes every framing
+    # and reassembly copy cross vector lanes (measured 49 ms of a
+    # 165 ms conv on v5e just building frames at L = 28673); shrinking
+    # L to a multiple of 128 costs < 0.5% extra blocks and keeps every
+    # strided reshape aligned. The save region S = nfft - L >= nv - 1
+    # still carries the full filter history.
+    if L >= 256:
+        L = (L // 128) * 128
+    S = nfft - L                                 # save size, >= nv - 1
     K = -(-nout // L)  # ceil
-    q = -(-(nfft - L) // L)
+    q = -(-S // L)
 
     uc = jnp.moveaxis(u.astype(dtype), 0, -1)    # (*chans, n)
-    pad_front = nv - 1
+    pad_front = S
     total = (K + q) * L
     pad = [(0, 0)] * (u.ndim - 1) + [(pad_front, total - nu - pad_front)]
     up = jnp.pad(uc, pad)
@@ -332,7 +341,7 @@ def _conv_os_1d(u, v, nfft=None):
         H = fftm.rfft(v.astype(dtype), n=nfft)
         y = fftm.irfft(fftm.rfft(frames, n=nfft, axis=-1) * H, n=nfft,
                        axis=-1)
-    y = y[..., nv - 1:]                          # (*chans, K, L) valid part
+    y = y[..., S:]                               # (*chans, K, L) valid part
     y = y.reshape(u.shape[1:] + (K * L,))[..., :nout]
     return jnp.moveaxis(y, -1, 0).astype(dtype)
 
