@@ -67,6 +67,18 @@ def _tables(n):
     return hit
 
 
+def _pack_tw(n):
+    """Untwist table exp(-2*pi*i*k/n), k = 0..n/2-1 (float64 host
+    build, complex64 on device)."""
+    key = ("pk", n)
+    hit = _tab_cache.get(key)
+    if hit is None:
+        hit = np.exp(-2j * np.pi * np.arange(n // 2) / n).astype(
+            np.complex64)
+        _tab_cache[key] = hit
+    return hit
+
+
 def fft(x, n=None, axis=-1):
     """Complex FFT along `axis` via the four-step matmul factorization
     (falls back to jnp.fft.fft when unsupported). The four-step body is
@@ -78,15 +90,10 @@ def fft(x, n=None, axis=-1):
     return _fft_jit(x, ln, axis)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _fft_jit(x, ln, axis):
-    x = jnp.moveaxis(x, axis, -1)
-    if x.shape[-1] < ln:
-        pad = [(0, 0)] * (x.ndim - 1) + [(0, ln - x.shape[-1])]
-        x = jnp.pad(x, pad)
-    elif x.shape[-1] > ln:
-        x = x[..., :ln]
-    x = x.astype(jnp.complex64)
+def _fft_core(x, ln):
+    """Four-step complex DFT of length `ln` over the LAST axis; x is
+    complex64 with x.shape[-1] == ln. ln must be pow2 with both
+    four-step factors <= _MAX_FACTOR (callers guarantee)."""
     l1, l2, w1, w2, tw = _tables(ln)
     lead = x.shape[:-1]
     v = x.reshape(lead + (l1, l2))
@@ -99,8 +106,23 @@ def _fft_jit(x, ln, axis):
     v = jnp.einsum("...kj,lj->...kl", v, jnp.asarray(w2),
                    precision=lax.Precision.HIGHEST)
     # bin order: X[k1 + L1*k2] -> transpose (k1, k2) -> (k2, k1)
-    out = jnp.swapaxes(v, -2, -1).reshape(lead + (ln,))
-    return jnp.moveaxis(out, -1, axis)
+    return jnp.swapaxes(v, -2, -1).reshape(lead + (ln,))
+
+
+def _fit_last(x, ln):
+    if x.shape[-1] < ln:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, ln - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    elif x.shape[-1] > ln:
+        x = x[..., :ln]
+    return x
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _fft_jit(x, ln, axis):
+    x = jnp.moveaxis(x, axis, -1)
+    x = _fit_last(x, ln).astype(jnp.complex64)
+    return jnp.moveaxis(_fft_core(x, ln), -1, axis)
 
 
 def ifft(x, n=None, axis=-1):
@@ -112,29 +134,65 @@ def ifft(x, n=None, axis=-1):
 
 
 def rfft(x, n=None, axis=-1):
-    """Real-input FFT (first n//2+1 bins). Runs the complex four-step
-    on the realified input; the 2x arithmetic redundancy is still far
-    cheaper than the native FFT at these sizes."""
+    """Real-input FFT (first n//2+1 bins) via even/odd packing: one
+    complex four-step of length n/2 plus an elementwise untwist —
+    half the matmul FLOPs of realify-and-fft (the standard real-FFT
+    halving, chosen over a real-matrix DFT because the half-length
+    complex core reuses the MXU-tiled four-step)."""
     x = jnp.asarray(x)
     ln = x.shape[axis] if n is None else int(n)
     if not mx_supported(ln) or jnp.iscomplexobj(x):
         return jnp.fft.rfft(x, n=n, axis=axis)
-    full = fft(x, n=ln, axis=axis)
-    sl = [slice(None)] * x.ndim
-    sl[axis] = slice(0, ln // 2 + 1)
-    return full[tuple(sl)]
+    return _rfft_jit(x, ln, axis)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _rfft_jit(x, ln, axis):
+    x = jnp.moveaxis(x, axis, -1)
+    x = _fit_last(x, ln).astype(jnp.float32)
+    h = ln // 2
+    lead = x.shape[:-1]
+    # pack even/odd samples: z[m] = x[2m] + i x[2m+1]
+    pair = x.reshape(lead + (h, 2))
+    z = lax.complex(pair[..., 0], pair[..., 1])
+    Z = _fft_core(z, h)
+    # Z[(h-k) mod h]: k=0 -> Z[0], k>0 -> Z[h-k]
+    Zr = jnp.conj(jnp.concatenate(
+        [Z[..., :1], jnp.flip(Z[..., 1:], axis=-1)], axis=-1))
+    Xe = 0.5 * (Z + Zr)
+    Xo = -0.5j * (Z - Zr)
+    Xk = Xe + jnp.asarray(_pack_tw(ln)) * Xo        # bins 0..h-1
+    # bin h: Xe and Xo are h-periodic, twiddle at k=h is -1
+    Xny = jnp.real(Z[..., :1]) - jnp.imag(Z[..., :1])
+    out = jnp.concatenate([Xk, Xny.astype(Xk.dtype)], axis=-1)
+    return jnp.moveaxis(out, -1, axis)
 
 
 def irfft(x, n=None, axis=-1):
-    """Inverse of rfft (real output length n)."""
+    """Inverse of rfft (real output length n); even/odd packing like
+    `rfft` — elementwise twist then one length-n/2 complex inverse."""
     x = jnp.asarray(x)
     nb = x.shape[axis]
     ln = 2 * (nb - 1) if n is None else int(n)
     if not mx_supported(ln):
         return jnp.fft.irfft(x, n=n, axis=axis)
-    xm = jnp.moveaxis(x, axis, -1)[..., :ln // 2 + 1]
-    # rebuild the conjugate-symmetric spectrum
-    tail = jnp.conj(xm[..., -2:0:-1])
-    full = jnp.concatenate([xm, tail], axis=-1)
-    out = jnp.real(jnp.conj(fft(jnp.conj(full), n=ln, axis=-1))) / ln
+    return _irfft_jit(x, ln, axis)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _irfft_jit(x, ln, axis):
+    h = ln // 2
+    xm = jnp.moveaxis(x, axis, -1).astype(jnp.complex64)
+    xm = _fit_last(xm, h + 1)
+    Xk = xm[..., :h]
+    # X[h-k] for k = 0..h-1: k=0 -> X[h], k>0 -> X[h-k]
+    Xr = jnp.conj(jnp.flip(xm[..., 1:], axis=-1))
+    Xe = 0.5 * (Xk + Xr)
+    Xo = 0.5 * jnp.conj(jnp.asarray(_pack_tw(ln))) * (Xk - Xr)
+    Z = Xe + 1j * Xo
+    # ifft_h via conjugate trick on the forward core
+    z = jnp.conj(_fft_core(jnp.conj(Z), h)) / h
+    lead = z.shape[:-1]
+    out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1).reshape(
+        lead + (ln,))
     return jnp.moveaxis(out, -1, axis)
