@@ -43,8 +43,9 @@ def arburg(x, p):
     pred_err = unnormed / n
     ef = xf.astype(dtype)
     eb = xf.astype(dtype)
-    a = [jnp.ones((C,), dtype)] + [jnp.zeros((C,), dtype)
-                                   for _ in range(p)]
+    # coefficient rows in one (p+1, C) array; per-order update is a
+    # flip + fused multiply-add over the filled slice (see levinson)
+    a_arr = jnp.zeros((p + 1, C), dtype).at[0].set(1)
     refl = []
     den = 2 * unnormed
     ratio = jnp.ones_like(unnormed)
@@ -57,17 +58,16 @@ def arburg(x, p):
         den = ratio * den - (jnp.abs(cf) ** 2 + jnp.abs(cb) ** 2)
         k = -2 * jnp.sum(jnp.conj(eb) * ef, axis=0) / den
         refl.append(k)
-        new_a = list(a)
-        for i in range(1, m + 1):
-            new_a[i] = a[i] + k * jnp.conj(a[m - i])
-        a = new_a
+        # a[i] += k * conj(a[m-i]) for i = 1..m
+        a_arr = a_arr.at[1:m + 1].set(
+            a_arr[1:m + 1] + k * jnp.conj(jnp.flip(a_arr[:m], 0)))
         ef_new = ef + k * eb
         eb = eb + jnp.conj(k) * ef
         ef = ef_new
         ratio = 1 - jnp.abs(k) ** 2
         pred_err = pred_err * ratio
 
-    a_arr = jnp.conj(jnp.stack(a))                      # (p+1, C)
+    a_arr = jnp.conj(a_arr)                             # (p+1, C)
     refl_arr = jnp.stack(refl)
     if vec:
         return a_arr[:, 0], pred_err[0], refl_arr[:, 0]
@@ -93,23 +93,25 @@ def levinson(R, p):
 
     k = -Rf[1] / Rf[0]
     pred_err = jnp.real(Rf[0]) * (1 - jnp.abs(k) ** 2)
-    a = [k] + [jnp.zeros((C,), dtype) for _ in range(p - 1)]
+    # coefficients live in one (p, C) array: each order update is a
+    # whole-slice vector op (flip + fused multiply-add) instead of the
+    # reference's per-coefficient scalar loop (lpc.jl:122-145) — the
+    # recursion stays sequential in m but each step is 5 fused VPU ops
+    a_arr = jnp.zeros((p, C), dtype).at[0].set(k)
     refl = [k]
     for m in range(2, p + 1):
-        acc = Rf[m]
-        for i in range(1, m):
-            # dotu (unconjugated): reference lpc.jl:148-156
-            acc = acc + Rf[i] * a[m - 1 - i]
+        # dotu (unconjugated, reference lpc.jl:148-156):
+        # acc = R[m] + sum_{i=1..m-1} R[i] * a[m-1-i]
+        acc = Rf[m] + jnp.sum(Rf[1:m] * jnp.flip(a_arr[:m - 1], 0),
+                              axis=0)
         k = -acc / pred_err
-        new_a = list(a)
-        for i in range(m - 1):
-            new_a[i] = a[i] + k * jnp.conj(a[m - 2 - i])
-        new_a[m - 1] = k
-        a = new_a
+        head = a_arr[:m - 1]
+        a_arr = a_arr.at[:m - 1].set(
+            head + k * jnp.conj(jnp.flip(head, 0)))
+        a_arr = a_arr.at[m - 1].set(k)
         refl.append(k)
         pred_err = pred_err * (1 - jnp.abs(k) ** 2)
 
-    a_arr = jnp.stack(a)
     refl_arr = jnp.stack(refl)
     if vec:
         return a_arr[:, 0], pred_err[0], refl_arr[:, 0]
