@@ -9,12 +9,38 @@ dims ride the VPU lanes (a superset of the reference's vector-only
 API).
 """
 
+import os as _os
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .dspbase import xcorr
 
 __all__ = ["lpc", "arburg", "levinson", "LPCBurg", "LPCLevinson"]
+
+# the order recursion is dispatch-bound on accelerators (~75 tiny HLOs
+# at p=16); kernels/levinson.py fuses it into one pallas_call. Same
+# switches as the other kernels: DSPTPU_NO_PALLAS=1 kills,
+# DSPTPU_PALLAS=1 forces (interpret mode off-TPU).
+_PALLAS_LEV = {"0": False, "1": True}.get(
+    _os.environ.get("DSPTPU_PALLAS", ""), None)
+if _os.environ.get("DSPTPU_NO_PALLAS", "") == "1":
+    _PALLAS_LEV = False
+
+
+def _pallas_lev_ok(p, C, dtype):
+    if _PALLAS_LEV is False:
+        return False
+    from ..kernels.levinson import lev_supported
+    if not lev_supported(p, C, dtype):
+        return False
+    if _PALLAS_LEV is True:
+        return True
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
 
 
 class LPCBurg:
@@ -90,6 +116,20 @@ def levinson(R, p):
     dtype = Rf.dtype if (cplx or jnp.issubdtype(Rf.dtype, jnp.floating)) \
         else jnp.float64
     Rf = Rf.astype(dtype)
+
+    if not cplx and _pallas_lev_ok(p, C, dtype):
+        from ..kernels.levinson import levinson_pallas
+        try:
+            interp = jax.devices()[0].platform in ("cpu",)
+        except Exception:
+            interp = True
+        a_arr, pred_err, refl_arr = levinson_pallas(Rf[:p + 1], p,
+                                                    interp)
+        if vec:
+            return a_arr[:, 0], pred_err[0], refl_arr[:, 0]
+        shape = R.shape[1:]
+        return (a_arr.reshape((p,) + shape), pred_err.reshape(shape),
+                refl_arr.reshape((p,) + shape))
 
     k = -Rf[1] / Rf[0]
     pred_err = jnp.real(Rf[0]) * (1 - jnp.abs(k) ** 2)

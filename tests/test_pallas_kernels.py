@@ -134,3 +134,44 @@ class TestBiirKernel:
         monkeypatch.setattr(ffmod, "_PALLAS_IIR", False)
         want = np.asarray(dsptpu.filtfilt(f, jnp.asarray(x)))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Levinson kernel
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("p,C", [(16, 300), (8, 2500), (32, 128),
+                                 (2, 200)])
+def test_levinson_pallas_matches_xla(p, C):
+    import importlib
+    from dsptpu.kernels.levinson import levinson_pallas
+    lpcmod = importlib.import_module("dsptpu.ops.lpc")
+
+    x = rng.standard_normal((400, C)).astype(np.float32)
+    n = x.shape[0]
+    R = np.stack([np.sum(x[: n - l] * x[l:], axis=0) / n
+                  for l in range(p + 1)], axis=0).astype(np.float32)
+    Rj = jnp.asarray(R)
+    a_w, e_w, r_w = lpcmod.levinson(Rj.astype(jnp.float64), p)
+    a_g, e_g, r_g = levinson_pallas(Rj, p, True, 256)
+    np.testing.assert_allclose(np.asarray(a_g), np.asarray(a_w),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(e_g), np.asarray(e_w),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(r_g), np.asarray(r_w),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_levinson_pallas_via_lpc(monkeypatch):
+    """lpc(method='levinson') routes through the kernel when forced."""
+    import importlib
+    lpcmod = importlib.import_module("dsptpu.ops.lpc")
+    monkeypatch.setattr(lpcmod, "_PALLAS_LEV", True)
+    x = rng.standard_normal((400, 640)).astype(np.float32)
+    a, err = dsptpu.lpc(jnp.asarray(x), 16, method="levinson")
+    monkeypatch.setattr(lpcmod, "_PALLAS_LEV", False)
+    a2, err2 = dsptpu.lpc(jnp.asarray(x), 16, method="levinson")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a2),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(err), np.asarray(err2),
+                               rtol=2e-4)
