@@ -337,7 +337,28 @@ def _conv_os_1d(u, v, nfft=None):
               and jnp.dtype(dtype) in (jnp.dtype(jnp.float32),
                                        jnp.dtype(jnp.complex64)))
     fftm = mxfft if use_mx else jnp.fft
-    if cplx:
+    if use_mx:
+        # transform-domain multiply in the four-step TILE domain (skips
+        # both bin-order transposes), and for real input two frames
+        # ride one complex FFT: z = x_a + i x_b, and because conv with
+        # the real filter is complex-linear, ifft(fft(z) * H) separates
+        # exactly as y_a + i y_b — the classic pairing trick with zero
+        # unpack cost (reference runs one real FFT per block,
+        # dspbase.jl:583-606).
+        Ht = mxfft.fft_tiles(v.astype(dtype), nfft)
+        if cplx:
+            y = mxfft.ifft_tiles(mxfft.fft_tiles(frames, nfft) * Ht,
+                                 nfft)
+        else:
+            if K & 1:
+                zpad = jnp.zeros(frames.shape[:-2] + (1, nfft),
+                                 frames.dtype)
+                frames = jnp.concatenate([frames, zpad], axis=-2)
+            z = lax.complex(frames[..., 0::2, :], frames[..., 1::2, :])
+            yc = mxfft.ifft_tiles(mxfft.fft_tiles(z, nfft) * Ht, nfft)
+            y = jnp.stack([jnp.real(yc), jnp.imag(yc)], axis=-2)
+            y = y.reshape(frames.shape[:-2] + (-1, nfft))[..., :K, :]
+    elif cplx:
         H = fftm.fft(v.astype(dtype), n=nfft)
         y = fftm.ifft(fftm.fft(frames, n=nfft, axis=-1) * H, axis=-1)
     else:

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["fft", "ifft", "rfft", "irfft", "mx_supported"]
+__all__ = ["fft", "ifft", "rfft", "irfft", "fft_tiles", "ifft_tiles",
+           "mx_supported"]
 
 # four-step pays off where the XLA FFT falls off a cliff; below this
 # size the native FFT wins (measured v5e crossover)
@@ -90,10 +91,12 @@ def fft(x, n=None, axis=-1):
     return _fft_jit(x, ln, axis)
 
 
-def _fft_core(x, ln):
-    """Four-step complex DFT of length `ln` over the LAST axis; x is
-    complex64 with x.shape[-1] == ln. ln must be pow2 with both
-    four-step factors <= _MAX_FACTOR (callers guarantee)."""
+def _tiles_core(x, ln):
+    """Four-step complex DFT over the LAST axis, output left in the
+    (k1, k2) TILE DOMAIN: returns (..., l1, l2) where bin
+    k = k1 + l1*k2. Skipping the bin-order transpose matters for
+    transform-domain pointwise work (convolution): any fixed bin
+    permutation is fine as long as both operands share it."""
     l1, l2, w1, w2, tw = _tables(ln)
     lead = x.shape[:-1]
     v = x.reshape(lead + (l1, l2))
@@ -105,6 +108,57 @@ def _fft_core(x, ln):
     # stage 2: DFT over j2
     v = jnp.einsum("...kj,lj->...kl", v, jnp.asarray(w2),
                    precision=lax.Precision.HIGHEST)
+    return v
+
+
+def _itiles_core(Xt, ln):
+    """Inverse of `_tiles_core`: input (..., l1, l2) in (k1, k2) tile
+    layout, output natural-order (..., ln). Runs the mirrored
+    four-step (DFT over k2, conjugate twiddle, DFT over k1) — no
+    transposes in either direction."""
+    l1, l2, w1, w2, tw = _tables(ln)
+    lead = Xt.shape[:-2]
+    v = jnp.einsum("...kl,jl->...kj", Xt, jnp.conj(jnp.asarray(w2)),
+                   precision=lax.Precision.HIGHEST)
+    v = v * jnp.conj(jnp.asarray(tw))
+    v = jnp.einsum("...kj,ik->...ij", v, jnp.conj(jnp.asarray(w1)),
+                   precision=lax.Precision.HIGHEST)
+    return v.reshape(lead + (ln,)) / ln
+
+
+def fft_tiles(x, n, axis=-1):
+    """Forward transform into the (k1, k2) tile domain (see
+    `_tiles_core`); pair with `ifft_tiles`. Caller must check
+    `mx_supported(n)`."""
+    x = jnp.asarray(x)
+    if axis not in (-1, x.ndim - 1):
+        x = jnp.moveaxis(x, axis, -1)
+    return _fft_tiles_jit(x, int(n))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _fft_tiles_jit(x, ln):
+    x = _fit_last(x, ln).astype(jnp.complex64)
+    return _tiles_core(x, ln)
+
+
+def ifft_tiles(Xt, n):
+    """Inverse of `fft_tiles` along the last two (tile) axes; returns
+    complex natural-order samples on the last axis."""
+    return _ifft_tiles_jit(jnp.asarray(Xt), int(n))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _ifft_tiles_jit(Xt, ln):
+    return _itiles_core(Xt.astype(jnp.complex64), ln)
+
+
+def _fft_core(x, ln):
+    """Four-step complex DFT of length `ln` over the LAST axis; x is
+    complex64 with x.shape[-1] == ln. ln must be pow2 with both
+    four-step factors <= _MAX_FACTOR (callers guarantee)."""
+    lead = x.shape[:-1]
+    v = _tiles_core(x, ln)
     # bin order: X[k1 + L1*k2] -> transpose (k1, k2) -> (k2, k1)
     return jnp.swapaxes(v, -2, -1).reshape(lead + (ln,))
 

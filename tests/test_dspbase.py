@@ -2,7 +2,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from dsptpu.ops.dspbase import filt, conv, deconv, xcorr, optimal_os_nfft
+from dsptpu.ops.dspbase import (filt, conv, deconv, xcorr, optimal_os_nfft,
+                                _conv_os_1d)
 
 
 def test_filt_fir_reference_vectors():
@@ -214,3 +215,44 @@ class TestMxFFT:
         x = self.rng.standard_normal(1000)
         np.testing.assert_allclose(np.asarray(mxfft.fft(jnp.asarray(x))),
                                    np.fft.fft(x), rtol=1e-9, atol=1e-9)
+
+
+class TestMxfftTiles:
+    def test_tiles_roundtrip_and_order(self):
+        from dsptpu.ops import mxfft
+        rng = np.random.default_rng(9)
+        x = (rng.standard_normal((3, 16384))
+             + 1j * rng.standard_normal((3, 16384))).astype(np.complex64)
+        Xt = mxfft.fft_tiles(jnp.asarray(x), 16384)
+        l1 = Xt.shape[-2]
+        # tile (k1, k2) flattens to bins k = k1 + l1*k2
+        want = np.fft.fft(x, axis=-1)
+        got = np.asarray(Xt).swapaxes(-2, -1).reshape(3, -1)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-2)
+        back = np.asarray(mxfft.ifft_tiles(Xt, 16384))
+        np.testing.assert_allclose(back, x, rtol=2e-4, atol=2e-4)
+
+    def test_paired_real_conv_matches_direct(self):
+        rng = np.random.default_rng(10)
+        x = rng.standard_normal((60000, 3)).astype(np.float32)
+        h = rng.standard_normal(3000).astype(np.float32)
+        got = np.asarray(_conv_os_1d(jnp.asarray(x), jnp.asarray(h),
+                                     nfft=16384))
+        want = np.stack([np.convolve(x[:, c].astype(np.float64),
+                                     h.astype(np.float64))
+                         for c in range(3)], axis=-1)
+        err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+        assert err < 5e-6
+
+    def test_paired_complex_conv(self):
+        rng = np.random.default_rng(11)
+        x = (rng.standard_normal(40000)
+             + 1j * rng.standard_normal(40000)).astype(np.complex64)
+        h = (rng.standard_normal(2000)
+             + 1j * rng.standard_normal(2000)).astype(np.complex64)
+        got = np.asarray(_conv_os_1d(jnp.asarray(x), jnp.asarray(h),
+                                     nfft=8192))
+        want = np.convolve(x.astype(np.complex128),
+                           h.astype(np.complex128))
+        err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+        assert err < 5e-6
