@@ -99,10 +99,14 @@ def _fir_block_toeplitz(b, x):
     # banded G zero-padding while staying comfortably in VMEM tiles)
     T = min(1024, max(512, -(-2 * nb // 128) * 128))
     W = T + nb - 1
-    d = np.arange(W)[:, None] - np.arange(T)[None, :]
-    mask = jnp.asarray((d >= 0) & (d < nb))
-    G = jnp.where(mask, jnp.flip(b)[jnp.asarray(np.clip(d, 0, nb - 1))],
-                  0).astype(x.dtype)
+    # banded Toeplitz G[w, t] = b[nb-1-w+t] (0 <= w-t < nb) built by the
+    # tile+reshape trick: c has period W+1, so row t of the (T, W)
+    # reshape is c shifted right by t — no gather (a traced-taps gather
+    # of the (W, T) index table costs ~3 ms/call on v5e, more than the
+    # FIR matmul itself)
+    c = jnp.concatenate([jnp.flip(b).astype(x.dtype),
+                         jnp.zeros((T,), x.dtype)])
+    G = jnp.tile(c, T)[: T * W].reshape(T, W).T
     xcat = jnp.concatenate([jnp.zeros((nb - 1, C), x.dtype), x], axis=0)
     B = -(-n // T)
     return _block_matmul(xcat, G, 0, B, T, W, n)
