@@ -38,25 +38,34 @@ MXU_BF16 = 197e12       # TPU v5e peak bf16 MXU FLOP/s
 F32_PASSES = 6          # HIGHEST-precision f32 matmul = 6 bf16 passes
 
 
+def _chain(fn, args, k):
+    t0 = time.perf_counter()
+    r = None
+    for _ in range(k):
+        r = fn(*args)
+    _sync(r)
+    return time.perf_counter() - t0
+
+
 def _timeit(fn, *args, reps=3, warmup=1, k=8):
-    """Times fn via a scalar host readback. On a tunneled TPU,
-    block_until_ready can return before the computation completes, so
-    we sync with a one-element host read; and a single call is
-    dominated by the ~50 ms dispatch+readback latency, so each
-    measurement dispatches `k` back-to-back calls (device executes
-    in-order) with one final sync and amortizes the latency."""
+    """Per-call device time by two-point chain differencing.
+
+    A single tunneled call is dominated by the ~50-70 ms (and jittery)
+    dispatch+readback round trip, so time a short chain of k1
+    back-to-back dispatches and a long chain of k2 (device executes
+    in-order, one end-of-chain sync each), and take
+    (T(k2) - T(k1)) / (k2 - k1): the per-chain constant cancels
+    exactly instead of relying on a separately calibrated latency.
+    Each chain length keeps its best-of-reps floor (best-case RTT is
+    the same constant for both), which makes the difference robust to
+    RTT jitter. `k` scales the long chain; short configs pass a
+    larger k so the differenced span stays well above jitter."""
     for _ in range(warmup):
         _sync(fn(*args))
-    best = math.inf
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(k):
-            r = fn(*args)
-        _sync(r)
-        t = (time.perf_counter() - t0 - _LATENCY) / k
-        best = min(best, t)
-    return max(best, 50e-6)
+    k1, k2 = 2, max(k, 6)
+    b1 = min(_chain(fn, args, k1) for _ in range(reps))
+    b2 = min(_chain(fn, args, k2) for _ in range(reps))
+    return max((b2 - b1) / (k2 - k1), 20e-6)
 
 
 def _cpu_time(fn, reps=3):
@@ -69,16 +78,21 @@ def _cpu_time(fn, reps=3):
 
 
 def _sync(r):
+    """Block until `r`'s computation completes, via ONE host readback.
+
+    One leaf is enough: the device executes dispatches in-order and all
+    outputs of an executable complete together, while per-leaf
+    block_until_ready costs a ~27 ms tunnel round trip EACH (measured
+    v5e: a 3-output jit timed 7 ms/call at k=8 purely from per-leaf
+    syncs; true device time was 0.5 ms). Read back through jnp.real —
+    complex readback is UNIMPLEMENTED over the tunnel and wedges the
+    client."""
     import jax
     import jax.numpy as jnp
-    leaves = jax.tree_util.tree_leaves(r)
-    for leaf in leaves:
-        if hasattr(leaf, "block_until_ready"):
-            leaf.block_until_ready()
-    # force true completion with a host readback of one element
-    for leaf in leaves:
-        if hasattr(leaf, "shape"):
-            np.asarray(jnp.ravel(leaf)[-1])
+    leaves = [l for l in jax.tree_util.tree_leaves(r)
+              if hasattr(l, "shape")]
+    if leaves:
+        np.asarray(jnp.real(jnp.ravel(leaves[-1])[-1]))
 
 
 def _measure_latency():
@@ -105,9 +119,9 @@ def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform not in ("cpu",)
     _log(f"device: {dev} (platform {dev.platform})")
-    global _LATENCY
-    _LATENCY = _measure_latency()
-    _log(f"dispatch+readback latency: {_LATENCY*1e3:.1f} ms (subtracted)")
+    lat = _measure_latency()
+    _log(f"dispatch+readback latency: {lat*1e3:.1f} ms "
+         "(cancelled by chain differencing)")
     dtype = np.float32
     scale = 1 if on_tpu else 4  # shrink workloads on CPU fallback
 
@@ -144,7 +158,7 @@ def main():
          + 0.1 * rng.standard_normal(n)).astype(dtype)
     xj, hj = jnp.asarray(x), jnp.asarray(h)
     fir = jax.jit(lambda b, s: dsptpu.filt(b, s))
-    t_dev = _timeit(fir, hj, xj)
+    t_dev = _timeit(fir, hj, xj, k=64)
     t_cpu = _cpu_time(lambda: sp.lfilter(h, [1.0], x[: n // 8])) * 8
     record("fir_127tap", n, t_dev, t_cpu, min_bytes=2 * 4 * n,
            flops=2.0 * n * 128)  # block-Toeplitz matmul, 128-padded taps
@@ -155,7 +169,7 @@ def main():
     x2 = rng.standard_normal((n2, nch)).astype(dtype)
     x2j, h2j = jnp.asarray(x2), jnp.asarray(h2)
     osf = jax.jit(lambda b, s: dsptpu.fftfilt(b, s))
-    t_dev = _timeit(osf, h2j, x2j)
+    t_dev = _timeit(osf, h2j, x2j, k=4)
     t_cpu = _cpu_time(lambda: sp.oaconvolve(x2[: n2 // 16], h2[:, None],
                                             axes=0)) * 16
     record("os_4096tap_16ch", n2 * nch, t_dev, t_cpu,
@@ -172,8 +186,8 @@ def main():
         dsptpu.welch_pgram(s, 1024, 512, window=win)))
     spec_j = jax.jit(lambda s: dsptpu.power(
         dsptpu.spectrogram(s, 1024, 512, window=win)))
-    t_w = _timeit(welch_j, x3j, k=4)
-    t_s = _timeit(spec_j, x3j, k=4)
+    t_w = _timeit(welch_j, x3j, k=16)
+    t_s = _timeit(spec_j, x3j, k=8)
     t_cpu_w = _cpu_time(lambda: sp.welch(
         x3[: n3 // 8], axis=0, nperseg=1024, noverlap=512, window=win)) * 8
     t_cpu_s = _cpu_time(lambda: sp.spectrogram(
@@ -202,7 +216,7 @@ def main():
         sf.reset()
         return sf.filt(xc)
 
-    t_dev = _timeit(poly_dev, x4j)
+    t_dev = _timeit(poly_dev, x4j, k=64)
     t_cpu = _cpu_time(lambda: sp.resample_poly(x4[: n4 // 8], 147, 160)) * 8
     W4 = -(-len(h4) // 147) + 1  # taps/phase + carry row
     record("resample_147_160", n4, t_dev, t_cpu,
@@ -221,14 +235,14 @@ def main():
     sos_sp[0, :3] *= f5.g
     x5j = jnp.asarray(x5)
     ff = jax.jit(lambda s: dsptpu.filtfilt(f5, s))
-    t_ff = _timeit(ff, x5j)
+    t_ff = _timeit(ff, x5j, k=64)
     # speech-frame LPC: 25 ms frames at 16 kHz (400 samples), order 16
     flen = 400
     nfr5 = n5 // flen
     frames5 = x5[: nfr5 * flen].reshape(nfr5, flen).T.copy()  # (flen, nfr)
     frames5j = jnp.asarray(frames5)
     lpc_j = jax.jit(lambda fr: dsptpu.lpc(fr, 16, method="levinson"))
-    t_lpc = _timeit(lpc_j, frames5j)
+    t_lpc = _timeit(lpc_j, frames5j, k=64)
     t_cpu_ff = _cpu_time(lambda: sp.sosfiltfilt(sos_sp, x5[: n5 // 8])) * 8
 
     def cpu_lpc():

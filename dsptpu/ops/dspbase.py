@@ -255,6 +255,7 @@ def optimal_os_nfft(nu, nv):
     extra additive log-term weight measured on TPU v5e: the XLA TPU
     FFT's per-point cost grows faster than log2(n), so mid-size blocks
     win over the FFTW-optimal larger ones)."""
+    from . import mxfft
     first = max(2 * nv, 8)
     nfft = 1 << (first - 1).bit_length()
     best, best_cost = nfft, None
@@ -262,7 +263,14 @@ def optimal_os_nfft(nu, nv):
     while n <= 4 * (nu + nv - 1):
         L = n - nv + 1
         if L > 0:
-            cost = (n * (math.log2(n) + 3)) / L
+            if nv >= 2048 and mxfft.mx_supported(n):
+                # four-step MXU path: per-point matmul work is
+                # l1 + l2 ~ 2*sqrt(n), not log n (measured v5e:
+                # nv=4096 optimum is 16384, not the log-model 65536)
+                l1, l2 = mxfft._split(n)
+                cost = (n * (l1 + l2) / 24.0) / L
+            else:
+                cost = (n * (math.log2(n) + 3)) / L
             if best_cost is None or cost < best_cost:
                 best, best_cost = n, cost
         n *= 2

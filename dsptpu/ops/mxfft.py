@@ -29,6 +29,11 @@ from jax import lax
 __all__ = ["fft", "ifft", "rfft", "irfft", "fft_tiles", "ifft_tiles",
            "mx_supported"]
 
+# MXU passes per f32 matmul: HIGHEST (6-pass, ~1e-6 rel error) by
+# default; set to lax.Precision.HIGH (3-pass) to halve MXU work where
+# ~1e-5 suffices
+PRECISION = lax.Precision.HIGHEST
+
 # four-step pays off where the XLA FFT falls off a cliff; below this
 # size the native FFT wins (measured v5e crossover)
 _MIN_N = 8192
@@ -102,12 +107,12 @@ def _tiles_core(x, ln):
     v = x.reshape(lead + (l1, l2))
     # stage 1: DFT over j1 (contraction with W_L1)
     v = jnp.einsum("...ij,ki->...kj", v, jnp.asarray(w1),
-                   precision=lax.Precision.HIGHEST)
+                   precision=PRECISION)
     # twiddle
     v = v * jnp.asarray(tw)
     # stage 2: DFT over j2
     v = jnp.einsum("...kj,lj->...kl", v, jnp.asarray(w2),
-                   precision=lax.Precision.HIGHEST)
+                   precision=PRECISION)
     return v
 
 
@@ -119,10 +124,10 @@ def _itiles_core(Xt, ln):
     l1, l2, w1, w2, tw = _tables(ln)
     lead = Xt.shape[:-2]
     v = jnp.einsum("...kl,jl->...kj", Xt, jnp.conj(jnp.asarray(w2)),
-                   precision=lax.Precision.HIGHEST)
+                   precision=PRECISION)
     v = v * jnp.conj(jnp.asarray(tw))
     v = jnp.einsum("...kj,ik->...ij", v, jnp.conj(jnp.asarray(w1)),
-                   precision=lax.Precision.HIGHEST)
+                   precision=PRECISION)
     return v.reshape(lead + (ln,)) / ln
 
 
