@@ -91,8 +91,19 @@ def _sync(r):
     import jax.numpy as jnp
     leaves = [l for l in jax.tree_util.tree_leaves(r)
               if hasattr(l, "shape")]
-    if leaves:
-        np.asarray(jnp.real(jnp.ravel(leaves[-1])[-1]))
+    if not leaves:
+        return
+    real = [l for l in leaves
+            if not jnp.issubdtype(l.dtype, jnp.complexfloating)]
+    if real:
+        np.asarray(jnp.ravel(real[-1])[-1])
+        return
+    # complex-only result: even eager slice/real on a complex device
+    # array is UNIMPLEMENTED over the tunnel (and wedges the client) —
+    # extract one real scalar through a compiled program instead
+    if not hasattr(_sync, "_extract"):
+        _sync._extract = jax.jit(lambda x: jnp.real(jnp.ravel(x)[-1]))
+    np.asarray(_sync._extract(leaves[-1]))
 
 
 def _measure_latency():

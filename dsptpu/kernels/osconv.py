@@ -1,0 +1,221 @@
+"""Pallas TPU kernel: fused overlap-save FFT convolution.
+
+The XLA tile-domain overlap-save path (ops/dspbase._conv_os_1d +
+ops/mxfft.fft_tiles) already runs the four-step DFT as MXU matmuls,
+but XLA materializes every stage of the complex arithmetic in HBM:
+measured on v5e the 4096-tap 16ch x 10M bench conv spends 55 ms where
+the useful matmul work is ~13 ms (precision HIGHEST vs HIGH made no
+difference — fusion/bandwidth-bound, not MXU-bound). This kernel runs
+the ENTIRE per-block pipeline in VMEM:
+
+    overlapped framing (BlockSpec rows) -> pair two real frames into
+    one complex frame -> four-step DFT (stage-1 matmul over sublanes,
+    twiddle, stage-2 matmul over lanes) -> tile-domain H multiply ->
+    mirrored inverse four-step -> write only the L valid samples
+
+so each input sample crosses HBM ~1.2x and each output sample once.
+Semantics match reference dspbase.jl:371-609 (overlap-save blocks with
+per-block save region), restricted to 1-D real f32 signals x channels.
+
+Geometry. nfft = N1*128 (N1 <= 128), block advance L = hr*128,
+save S = nfft - L = srow*128 >= nv - 1. The signal (front-padded with
+S zeros) viewed as (rows, 128) lane-major puts frame f at rows
+[f*hr, f*hr + N1) — consecutive frames f=2p, 2p+1 form complex frame
+z = x_a + i*x_b (conv with a real filter is complex-linear, so
+ifft(fft(z)*H) separates exactly as y_a + i*y_b). A grid step handles
+Q pairs = rows [p*A, p*A + A), A = 2*hr*Q, delivered by TWO BlockSpec
+views of the same array at block indices p and p+1: frames that cross
+the block edge split their stage-1 contraction into two partial
+matmuls (no concatenation — Mosaic rejects sublane-shifted concats).
+
+Four-step tables are the mxfft convention (j = j1*128 + j2, bin
+k = k1 + N1*k2): w1[k1,j1] = e^{-2i pi k1 j1/N1} (symmetric),
+tw[k1,j2] = e^{-2i pi k1 j2/nfft}, w2[j2,k2] = e^{-2i pi j2 k2/128}
+(symmetric); the inverse stages use the conjugate tables with 1/nfft
+folded into the last one, whose rows are pre-sliced to the valid
+range [srow, N1) so the final matmul only computes the L samples
+that are kept.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    pallas_available = True
+except Exception:  # pragma: no cover
+    pallas_available = False
+
+__all__ = ["osconv_pallas", "osconv_supported", "pallas_available"]
+
+
+def osconv_supported(nfft, nv, dtype):
+    """Real f32, nfft = N1*128 with N1 <= 128 (lane width bounds the
+    second four-step factor), and a lane-aligned advance that still
+    covers the filter history."""
+    if not pallas_available:
+        return False
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        return False
+    if nfft % 128 or not (2 <= nfft // 128 <= 128):
+        return False
+    L = ((nfft - nv + 1) // 128) * 128
+    # a frame may cross at most one grid-block boundary (stage-1
+    # contraction splits into two partial matmuls): N1 - hr rows of
+    # overshoot must fit in the next A = 2*hr*Q rows (Q = 4)
+    return L >= 128 and (nfft // 128) <= 9 * (L // 128)
+
+
+def _tables(nfft):
+    N1 = nfft // 128
+    k1 = np.arange(N1)
+    w1 = np.exp(-2j * np.pi * np.outer(k1, k1) / N1)
+    tw = np.exp(-2j * np.pi * np.outer(k1, np.arange(128)) / nfft)
+    j2 = np.arange(128)
+    w2 = np.exp(-2j * np.pi * np.outer(j2, j2) / 128)
+    return w1, tw, w2
+
+
+def _kernel(x1, x2, w1re, w1im, twre, twim, w2re, w2im, hre, him,
+            iw1re, iw1im, o_ref, *, N1, hr, srow, Q, A, prec):
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=prec)
+    twr = twre[:]
+    twi = twim[:]
+    w2r = w2re[:]
+    w2i = w2im[:]
+    hr_ = hre[:]
+    hi_ = him[:]
+    w1r = w1re[:]
+    w1i = w1im[:]
+    i1r = iw1re[:]
+    i1i = iw1im[:]
+    for q in range(Q):
+        fa = q * 2 * hr
+        fb = fa + hr
+
+        def stage1(w, off):
+            """(w @ rows[off:off+N1]) with the row range split across
+            the two input blocks when it crosses the A-row edge."""
+            n1 = max(0, min(N1, A - off))
+            acc = None
+            if n1 > 0:
+                acc = dot(w[:, :n1], x1[0, off:off + n1, :])
+            if n1 < N1:
+                part = dot(w[:, n1:], x2[0, :N1 - n1, :])
+                acc = part if acc is None else acc + part
+            return acc
+
+        # z = frame_a + i*frame_b; B = W1 @ z (contract j1, sublanes)
+        bre = stage1(w1r, fa) - stage1(w1i, fb)
+        bim = stage1(w1i, fa) + stage1(w1r, fb)
+        # twiddle
+        cre = bre * twr - bim * twi
+        cim = bre * twi + bim * twr
+        # stage 2 (contract j2, lanes) -> tile (k1, k2)
+        xre = dot(cre, w2r) - dot(cim, w2i)
+        xim = dot(cre, w2i) + dot(cim, w2r)
+        # tile-domain filter multiply
+        yre = xre * hr_ - xim * hi_
+        yim = xre * hi_ + xim * hr_
+        # inverse stage over k2: conj(w2) (symmetric), contract lanes
+        dre = dot(yre, w2r) + dot(yim, w2i)
+        dim = dot(yim, w2r) - dot(yre, w2i)
+        # conjugate twiddle
+        ere = dre * twr + dim * twi
+        eim = dim * twr - dre * twi
+        # inverse stage over k1, valid rows only: iw1 = conj(w1)/nfft
+        # pre-sliced to [srow, N1) -> (hr, N1) @ (N1, 128)
+        ore = dot(i1r, ere) - dot(i1i, eim)
+        oim = dot(i1r, eim) + dot(i1i, ere)
+        o_ref[0, fa:fa + hr, :] = ore
+        o_ref[0, fb:fb + hr, :] = oim
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nfft", "nout", "Q", "interpret"))
+def _osconv_jit(u, vp, nfft, nout, Q, interpret):
+    """u: (n, C) real f32; vp: (nfft,) f32 zero-padded filter.
+    Returns (nout, C) f32."""
+    n, C = u.shape
+    N1 = nfft // 128
+    # the advance is the largest lane-aligned L whose save region
+    # still covers the filter history (nv - 1 = nout - n)
+    nv_ = nout - n + 1
+    L = ((nfft - nv_ + 1) // 128) * 128
+    hr = L // 128
+    srow = N1 - hr
+    K = -(-nout // L)
+    P = -(-K // 2)
+    steps = -(-P // Q)
+    A = 2 * hr * Q
+    R = steps * A + A                               # + ref2 overshoot
+    xt = u.T                                        # (C, n)
+    xt = jnp.pad(xt, ((0, 0), (srow * 128, R * 128 - n - srow * 128)))
+    xr = xt.reshape(C, R, 128)
+
+    w1, tw, w2 = _tables(nfft)
+    f32 = np.float32
+    iw1 = np.conj(w1)[srow:, :] / nfft
+    tabs = [jnp.asarray(t.astype(f32)) for t in
+            (w1.real, w1.imag, tw.real, tw.imag, w2.real, w2.imag)]
+    # filter tiles in this kernel's (N1, 128) four-step convention,
+    # computed inside the jit (eager complex einsum is unsupported on
+    # some tunneled backends)
+    vt = vp.reshape(N1, 128).astype(jnp.complex64)
+    s1 = jnp.einsum("ij,ki->kj", vt,
+                    jnp.asarray(w1.astype(np.complex64)),
+                    precision=jax.lax.Precision.HIGHEST)
+    s1 = s1 * jnp.asarray(tw.astype(np.complex64))
+    Ht = jnp.einsum("kj,jl->kl", s1,
+                    jnp.asarray(w2.astype(np.complex64)),
+                    precision=jax.lax.Precision.HIGHEST)
+    htabs = [jnp.real(Ht).astype(jnp.float32),
+             jnp.imag(Ht).astype(jnp.float32)]
+    itabs = [jnp.asarray(iw1.real.astype(f32)),
+             jnp.asarray(iw1.imag.astype(f32))]
+
+    const = lambda shape: pl.BlockSpec(shape, lambda c, p: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, N1=N1, hr=hr, srow=srow, Q=Q, A=A,
+                          prec=jax.lax.Precision.HIGHEST),
+        out_shape=jax.ShapeDtypeStruct((C, steps * A, 128), jnp.float32),
+        grid=(C, steps),
+        in_specs=[
+            pl.BlockSpec((1, A, 128), lambda c, p: (c, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A, 128), lambda c, p: (c, p + 1, 0),
+                         memory_space=pltpu.VMEM),
+            const((N1, N1)), const((N1, N1)),
+            const((N1, 128)), const((N1, 128)),
+            const((128, 128)), const((128, 128)),
+            const((N1, 128)), const((N1, 128)),
+            const((hr, N1)), const((hr, N1)),
+        ],
+        out_specs=pl.BlockSpec((1, A, 128), lambda c, p: (c, p, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xr, xr, *tabs, *htabs, *itabs)
+    y = out.reshape(C, steps * A * 128)[:, :nout]
+    return y.T
+
+
+def osconv_pallas(u, v, nfft, interpret=False, Q=4):
+    """Fused overlap-save convolution: u (n,) or (n, C) real f32 long
+    input, v (nv,) real f32 filter. Returns the full linear
+    convolution (n + nv - 1, C) (or 1-D). Caller checks
+    osconv_supported(nfft, len(v), f32)."""
+    u = jnp.asarray(u)
+    v = jnp.asarray(v)
+    vec = u.ndim == 1
+    u2 = u[:, None] if vec else u
+    nout = u2.shape[0] + v.shape[0] - 1
+    vp = jnp.pad(v.astype(jnp.float32), (0, nfft - v.shape[0]))
+    y = _osconv_jit(u2, vp, int(nfft), int(nout), int(Q),
+                    bool(interpret))
+    return y[:, 0] if vec else y

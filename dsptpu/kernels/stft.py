@@ -176,14 +176,17 @@ def _kernel(q_hbm, twre, twim, w2re, w2im, wp, o_ref, scratch, sem, *,
 
 def stft_pow_pallas(x, win, nfft, hop, nframes, accumulate=False,
                     precision="highest", TB=512, onesided=False,
-                    interpret=False):
+                    raw=False, interpret=False):
     """Fused windowed-segment power spectra on TPU.
 
     x: (n,) or (n, C) real f32 signal (time-major); win: (nfft,) HOST
     numpy window (design-time constant) or None; frames start at b*hop,
     b < nframes. Returns DFT bin powers in the four-step tile layout
     (see bins_from_tile):
-      accumulate=False: (C, nframes, N1, 128) per-frame |X|^2
+      accumulate=False: (C, nframes, N1, 128) per-frame |X|^2, or the
+        raw 5-D block layout (C, nblocks, N1, TB, 128) when raw=True
+        (caller collapses the block/frame reordering into its own final
+        transpose instead of paying one here)
       accumulate=True:  (C, rows, 128) sum over frames (Welch
         numerator), rows = N1//2+1 when onesided (use
         onesided_bins_from_tile) else N1
@@ -193,15 +196,15 @@ def stft_pow_pallas(x, win, nfft, hop, nframes, accumulate=False,
           else np.ones((N1, 128))).astype(np.float32)
     return _stft_pow_jit(x, jnp.asarray(wp), nfft, hop, nframes,
                          accumulate, precision, TB,
-                         bool(onesided and accumulate), interpret)
+                         bool(onesided and accumulate), raw, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("nfft", "hop", "nframes",
                                              "accumulate", "precision",
-                                             "TB", "onesided",
+                                             "TB", "onesided", "raw",
                                              "interpret"))
 def _stft_pow_jit(x, wp, nfft, hop, nframes, accumulate,
-                  precision, TB, onesided, interpret):
+                  precision, TB, onesided, raw, interpret):
     if x.ndim == 1:
         x = x[:, None]
     n, C = x.shape
@@ -266,6 +269,8 @@ def _stft_pow_jit(x, wp, nfft, hop, nframes, accumulate,
     )(q, *tab)
     if accumulate:
         return out[:, 0]
+    if raw:
+        return out
     # (C, nblocks, N1, TB, 128) -> (C, frames, N1, 128)
     out = jnp.swapaxes(out, 2, 3).reshape(C, nblocks * TB, N1, 128)
     return out[:, :nframes]

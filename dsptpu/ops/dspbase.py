@@ -22,10 +22,33 @@ jit-compatible for static shapes.
 """
 
 import math
+import os as _os
 
 import numpy as np
 import jax.numpy as jnp
 from jax import lax
+
+# fused Pallas overlap-save conv (kernels/osconv.py): same switches as
+# the other kernels — DSPTPU_NO_PALLAS=1 kills, DSPTPU_PALLAS=1 forces
+# (interpret mode off-TPU), default = on for non-CPU backends
+_PALLAS_OS = {"0": False, "1": True}.get(
+    _os.environ.get("DSPTPU_PALLAS", ""), None)
+if _os.environ.get("DSPTPU_NO_PALLAS", "") == "1":
+    _PALLAS_OS = False
+
+
+def _pallas_os_state():
+    """(use, interpret) for the fused OS-conv kernel."""
+    if _PALLAS_OS is False:
+        return False, False
+    import jax
+    try:
+        on_cpu = jax.devices()[0].platform in ("cpu",)
+    except Exception:
+        on_cpu = True
+    if _PALLAS_OS is True:
+        return True, on_cpu
+    return (not on_cpu), False
 
 __all__ = ["filt", "conv", "deconv", "xcorr", "optimal_os_nfft"]
 
@@ -322,6 +345,14 @@ def _conv_os_1d(u, v, nfft=None):
         nfft = optimal_os_nfft(nu, nv)
     elif nfft < nv:
         raise ValueError("nfft must be at least the filter length")
+    if not cplx and jnp.dtype(dtype) == jnp.dtype(jnp.float32):
+        from ..kernels.osconv import osconv_supported, osconv_pallas
+        use_k, interp = _pallas_os_state()
+        if use_k and osconv_supported(nfft, nv, dtype):
+            u2 = u.astype(dtype).reshape(nu, -1)
+            y = osconv_pallas(u2, v.astype(dtype), nfft,
+                              interpret=interp)
+            return y.reshape((nout,) + u.shape[1:])
     L = nfft - nv + 1
     # lane-align the block advance: a misaligned L makes every framing
     # and reassembly copy cross vector lanes (measured 49 ms of a

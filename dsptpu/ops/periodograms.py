@@ -253,6 +253,38 @@ def _pallas_seg_pow(s, n, noverlap, nfft, win, accumulate,
     return out.reshape((k, nfft) + s.shape[1:])
 
 
+def _pallas_spectro_pow(s, n, noverlap, nfft, win, r, onesided):
+    """PSD-mode STFT straight to the final (nbins, k, *chans) layout
+    with ONE transpose after the fused kernel (the generic
+    _pallas_seg_pow -> bins_from_tile -> moveaxis -> weight -> swapaxes
+    chain pays 4 full-size HBM copies; measured 15 ms for the 64ch/1M
+    bench spectrogram vs 6 ms for Welch on the same data). Raw
+    (C, nblocks, N1, TB, 128) blocks are lane-sliced first — bin
+    k = k1 + N1*k2 < nbins only needs k2 <= (nbins-1)//N1 — then
+    permuted once to (k2, k1, blocks, TB, C), where flattening
+    (k2, k1) yields bin order and (blocks, TB) yields frame order."""
+    from ..kernels.stft import stft_pow_pallas
+    hop = n - noverlap
+    k = _num_segments(s.shape[0], n, noverlap)
+    flat = s.reshape(s.shape[0], -1)
+    wext = np.zeros(nfft)
+    wext[:n] = np.asarray(win) if win is not None else 1.0
+    try:
+        interp = jax.devices()[0].platform in ("cpu",)
+    except Exception:
+        interp = True
+    tile = stft_pow_pallas(flat, wext, nfft, hop, k, accumulate=False,
+                           raw=True, interpret=interp)
+    C, nblocks, N1, TB, _ = tile.shape
+    nbins = nfft // 2 + 1 if onesided else nfft
+    l2 = (nbins - 1) // N1 + 1
+    pw = jnp.transpose(tile[..., :l2], (4, 2, 1, 3, 0))
+    pw = pw.reshape(l2 * N1, nblocks * TB, C)[:nbins, :k]
+    wts = _psd_weights(nfft, r, onesided)
+    out = pw * jnp.asarray(wts, pw.dtype)[:, None, None]
+    return out.reshape((nbins, k) + s.shape[1:])
+
+
 def _psd_weights(nfft, r, onesided, dtype=None):
     """One/two-sided PSD bin weights (fft2pow bookkeeping,
     periodograms.jl:142-172) applied to full-spectrum |X|^2 bins."""
@@ -456,13 +488,8 @@ def stft(s, n=None, noverlap=None, psdonly=False, onesided=None, nfft=None,
 
     win, norm2 = _resolve_window(window, n)
     if psdonly and _pallas_stft_ok(s, n, nfft, n - noverlap):
-        pw = _pallas_seg_pow(s, n, noverlap, nfft, win,
-                             accumulate=False)       # (k, nfft, *chans)
-        wts = _psd_weights(nfft, fs * norm2, onesided)
-        nbins = len(wts)
-        out = pw[:, :nbins] * jnp.asarray(wts, pw.dtype).reshape(
-            (1, nbins) + (1,) * (pw.ndim - 2))
-        return jnp.swapaxes(out, 0, 1)
+        return _pallas_spectro_pow(s, n, noverlap, nfft, win,
+                                   fs * norm2, onesided)
     frames = arraysplit(s, n, noverlap, nfft, win)   # (k, nfft, *chans)
     F = _fft_segments(frames, nfft, is_real)         # (k, nbins, *chans)
     if psdonly:

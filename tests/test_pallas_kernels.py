@@ -175,3 +175,41 @@ def test_levinson_pallas_via_lpc(monkeypatch):
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(err), np.asarray(err2),
                                rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused overlap-save conv kernel
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n,nv,nfft,C", [(5000, 127, 1024, 1),
+                                         (20000, 1025, 4096, 3),
+                                         (8192, 3969, 8192, 2),
+                                         (300, 100, 256, 1)])
+def test_osconv_pallas_matches_numpy(n, nv, nfft, C):
+    from dsptpu.kernels.osconv import osconv_pallas, osconv_supported
+    assert osconv_supported(nfft, nv, np.float32)
+    u = rng.standard_normal((n, C)).astype(np.float32)
+    v = rng.standard_normal(nv).astype(np.float32)
+    got = np.asarray(osconv_pallas(u[:, 0] if C == 1 else u, v, nfft,
+                                   interpret=True))
+    want = np.stack([np.convolve(u[:, c].astype(np.float64),
+                                 v.astype(np.float64))
+                     for c in range(C)], axis=-1)
+    if C == 1:
+        want = want[:, 0]
+    err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert err < 2e-6
+
+
+def test_osconv_via_conv_forced(monkeypatch):
+    """conv() routes through the fused OS kernel when forced on."""
+    import dsptpu.ops.dspbase as dspbase
+    u = rng.standard_normal(60000).astype(np.float32)
+    v = rng.standard_normal(4000).astype(np.float32)
+    monkeypatch.setattr(dspbase, "_PALLAS_OS", True)
+    got = np.asarray(dsptpu.conv(jnp.asarray(u), jnp.asarray(v),
+                                 algorithm="fft_overlapsave"))
+    monkeypatch.setattr(dspbase, "_PALLAS_OS", False)
+    want = np.asarray(dsptpu.conv(jnp.asarray(u), jnp.asarray(v),
+                                  algorithm="fft_overlapsave"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
