@@ -172,7 +172,19 @@ def filt(b, a, x=None, si=None):
                 # long taps: batched overlap-save FFTs
                 return restore(_conv_os_1d(flat, b)[:n])
             if inexact and not cplx and 1 < nb and n >= 4 * nb:
-                # short/medium taps: block-Toeplitz matmul on the MXU
+                # short/medium taps: fused Pallas row-shift FIR when
+                # available (measured 5.1x the block-Toeplitz matmul at
+                # 127 taps on v5e), else block-Toeplitz on the MXU
+                if (n >= 32768 and jnp.result_type(b.dtype, flat.dtype)
+                        == jnp.dtype(jnp.float32)):
+                    from ..kernels.fir import fir_pallas, fir_supported
+                    use_k, interp = _pallas_os_state()
+                    if use_k and fir_supported(nb, jnp.float32):
+                        rows = -(-n // 128)
+                        A = min(1024, max(64, -(-rows // 32) * 8))
+                        return restore(fir_pallas(
+                            flat.astype(jnp.float32), b, A=A,
+                            interpret=interp))
                 return restore(_fir_block_toeplitz(b, flat))
             return restore(_fir_causal(b, flat))
         a = jnp.ones((1,), b.dtype)

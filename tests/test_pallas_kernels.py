@@ -213,3 +213,38 @@ def test_osconv_via_conv_forced(monkeypatch):
     want = np.asarray(dsptpu.conv(jnp.asarray(u), jnp.asarray(v),
                                   algorithm="fft_overlapsave"))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused row-shift FIR kernel
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n,nb,C", [(5000, 127, 1), (20000, 255, 3),
+                                    (70000, 128, 2), (3000, 2, 1),
+                                    (9000, 1000, 1)])
+def test_fir_pallas_matches_lfilter(n, nb, C):
+    import scipy.signal as sp
+    from dsptpu.kernels.fir import fir_pallas, fir_supported
+    assert fir_supported(nb, np.float32)
+    x = rng.standard_normal((n, C)).astype(np.float32)
+    b = rng.standard_normal(nb).astype(np.float32)
+    got = np.asarray(fir_pallas(x[:, 0] if C == 1 else x, b,
+                                interpret=True))
+    want = sp.lfilter(b.astype(np.float64), [1.0],
+                      x.astype(np.float64), axis=0)
+    if C == 1:
+        want = want[:, 0]
+    err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert err < 2e-6
+
+
+def test_fir_pallas_via_filt_forced(monkeypatch):
+    """filt() routes through the fused FIR kernel when forced on."""
+    import dsptpu.ops.dspbase as dspbase
+    x = rng.standard_normal(40000).astype(np.float32)
+    b = rng.standard_normal(127).astype(np.float32)
+    monkeypatch.setattr(dspbase, "_PALLAS_OS", True)
+    got = np.asarray(dsptpu.filt(jnp.asarray(b), jnp.asarray(x)))
+    monkeypatch.setattr(dspbase, "_PALLAS_OS", False)
+    want = np.asarray(dsptpu.filt(jnp.asarray(b), jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
