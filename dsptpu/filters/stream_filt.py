@@ -94,20 +94,55 @@ def _block_matmul(xcat, G, s0, B, M, W, out_len):
     pad = max(needed - xc.shape[-1], 0)
     if pad:
         xc = jnp.pad(xc, [(0, 0)] * (xc.ndim - 1) + [(0, pad)])
+    dt = jnp.result_type(xc.dtype, G.dtype)
+    Gd = G.astype(dt)
     parts = [xc[..., s0 + j * M: s0 + (B + j) * M]
              .reshape(xc.shape[:-1] + (B, M)) for j in range(q + 1)]
-    frames = jnp.concatenate(parts, axis=-1)[..., :W]
-    dt = jnp.result_type(frames.dtype, G.dtype)
+    lead = xc.shape[:-1]
     # fold channel dims into the row dim: one plain (C*B, W) @ (W, L)
     # matmul instead of a batched einsum — XLA's batched path with a
     # unit batch runs ~3x slower on v5e (measured 5.6 ms vs 1.9 ms at
     # 127 taps / 10M samples)
-    lead = frames.shape[:-2]
-    fr2 = frames.reshape((-1, frames.shape[-1])).astype(dt)
-    y = jnp.matmul(fr2, G.astype(dt),
-                   precision=jax.lax.Precision.HIGHEST)
+    if 1 <= q <= 3:
+        # few wide parts (decimator/rational, M large): multiply each
+        # part against its row band of G and sum — skips materializing
+        # the (B, (q+1)*M) concatenated frame matrix entirely
+        # (measured 0.92 ms of a 2.27 ms resample call on v5e)
+        Gp = jnp.pad(Gd, ((0, (q + 1) * M - W), (0, 0)))
+        y = None
+        for j in range(q + 1):
+            fj = parts[j].reshape((-1, M)).astype(dt)
+            t = jnp.matmul(fj, Gp[j * M: (j + 1) * M],
+                           precision=jax.lax.Precision.HIGHEST)
+            y = t if y is None else y + t
+    else:
+        frames = jnp.concatenate(parts, axis=-1)[..., :W]
+        fr2 = frames.reshape((-1, frames.shape[-1])).astype(dt)
+        y = jnp.matmul(fr2, Gd, precision=jax.lax.Precision.HIGHEST)
     y = y.reshape(lead + (B * L,))[..., :out_len]
     return jnp.moveaxis(y, -1, 0)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _block_filt_step(history, x, G, s0, B, M, W, out_len):
+    """One streaming step as ONE dispatch: history concat + block
+    matmul + history-tail extraction all inside a single jit (three
+    separate eager dispatches cost ~0.6 ms over a tunneled TPU)."""
+    keep = history.shape[0]
+    xcat = jnp.concatenate([history, x], axis=0) if keep else x
+    y = _block_matmul(xcat, G, s0, B, M, W, out_len)
+    hist = xcat[xcat.shape[0] - keep:] if keep else None
+    return y, hist
+
+
+@partial(jax.jit, static_argnums=())
+def _standard_filt_step(history, x, h):
+    from ..ops import dspbase
+    keep = history.shape[0]
+    xcat = jnp.concatenate([history, x], axis=0) if keep else x
+    y = dspbase.filt(h, None, xcat)
+    hist = xcat[xcat.shape[0] - keep:] if keep else None
+    return y[keep:], hist
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -513,8 +548,15 @@ class FIRFilter:
     def _ensure_history(self, x):
         if self.history is None or self.history.shape[1:] != x.shape[1:] \
                 or self.history.dtype != x.dtype:
-            self.history = jnp.zeros((self.history_len,) + x.shape[1:],
-                                     x.dtype)
+            # cache the zero history (immutable device array): reset()
+            # + filt() per chunk would otherwise pay an extra eager
+            # device allocation/dispatch every call
+            key = (x.shape[1:], x.dtype)
+            zc = getattr(self, "_zero_hist", None)
+            if zc is None or zc[0] != key:
+                self._zero_hist = zc = (key, jnp.zeros(
+                    (self.history_len,) + x.shape[1:], x.dtype))
+            self.history = zc[1]
 
     def _block_args(self, xlen):
         """Host-side planning for the block-matmul device path: build
@@ -545,14 +587,32 @@ class FIRFilter:
             cache = k._g_cache = {}
         key = phi0
         if key in cache:
-            G, W = cache[key]
+            G, W, L, M = cache[key]
         else:
             offs = [(phi0 - 1 + M * p) // L for p in range(L)]
             W = max(offs) + taps
             G = np.zeros((W, L), dtype=pfb_t.dtype)
             for p in range(L):
                 G[offs[p]: offs[p] + taps, p] = pfb_t[(phi0 - 1 + M * p) % L]
-            cache[key] = (G, W)
+            if M < 128:
+                # super-block S base blocks so the per-block input
+                # advance is >= 512 samples: M-sample frame slivers get
+                # padded to 128 lanes on TPU (16x HBM blowup for a
+                # decimator's M=8, OOM at 10M samples); the banded G_s
+                # keeps the matmul overcount bounded (~2x for
+                # decimators; small-L interpolators waste more FLOPs
+                # but stay trivially cheap in absolute terms). For
+                # M >= 128 super-blocking is a net loss: the wider
+                # dense band costs more MXU work than the residual
+                # lane padding costs in HBM (measured 147/160: 1.01 ms
+                # aligned S=4 vs 0.92 ms as-is on v5e).
+                S = -(-512 // M)
+                Ws = (S - 1) * M + W
+                Gs = np.zeros((Ws, S * L), dtype=G.dtype)
+                for s in range(S):
+                    Gs[s * M: s * M + W, s * L: (s + 1) * L] = G
+                G, W, L, M = Gs, Ws, S * L, S * M
+            cache[key] = (G, W, L, M)
         s0 = self.history_len + deficit - 1 - (taps - 1)
         B = -(-out_len // L)
         return G, s0, B, M, W, out_len
@@ -562,9 +622,11 @@ class FIRFilter:
         xlen = x.shape[0]
         self._ensure_history(x)
         k = self.kernel
-        xcat = jnp.concatenate([self.history, x], axis=0) \
-            if self.history_len else x
+        newhist = None
+        xcat = None
         if isinstance(k, FIRArbitrary):
+            xcat = jnp.concatenate([self.history, x], axis=0) \
+                if self.history_len else x
             # cache the (host-exact) per-output index arrays on device:
             # streaming with a fixed chunk size re-plans identically,
             # and the upload (not the compute) dominates over a
@@ -593,29 +655,55 @@ class FIRFilter:
                               _tap_dtype(np.asarray(self.h).dtype, x.dtype))
         elif isinstance(k, FIRStandard):
             out_len = xlen
-            from ..ops import dspbase
-            h = jnp.asarray(k.h, _tap_dtype(k.h.dtype, xcat.dtype))
-            y = dspbase.filt(h, None, xcat)[self.history_len:]
+            hdt = _tap_dtype(k.h.dtype, x.dtype)
+            dkey = ("h", hdt)
+            dcache = getattr(k, "_g_dev", None)
+            if dcache is None or dcache[0] != dkey:
+                k._g_dev = dcache = (dkey, jnp.asarray(k.h, hdt))
+            if self.history_len:
+                y, newhist = _standard_filt_step(self.history, x,
+                                                 dcache[1])
+            else:
+                from ..ops import dspbase
+                y = dspbase.filt(dcache[1], None, x)
         else:
             out_len = (k.output_length(xlen)
                        if xlen >= k.input_deficit else 0)
             if out_len:
                 G, s0, B, M, W, out_len = self._block_args(xlen)
-                Gd = jnp.asarray(G, _tap_dtype(G.dtype, x.dtype))
+                # cache the device copy: re-uploading the host-built G
+                # every call costs a host->device transfer (~ms over a
+                # tunneled TPU) that dwarfs the filtering matmul
+                gdt = _tap_dtype(G.dtype, x.dtype)
+                dkey = (id(G), gdt)
+                dcache = getattr(k, "_g_dev", None)
+                if dcache is None or dcache[0] != dkey:
+                    k._g_dev = dcache = (dkey, jnp.asarray(G, gdt))
+                Gd = dcache[1]
                 if USE_PALLAS and x.ndim == 1 \
                         and not jnp.iscomplexobj(x) \
                         and not jnp.iscomplexobj(Gd):
                     from ..kernels.pfb import pfb_block_filt_pallas
+                    xcat = jnp.concatenate([self.history, x], axis=0) \
+                        if self.history_len else x
                     y = pfb_block_filt_pallas(xcat, Gd, s0=s0, B=B, M=M,
                                               W=W)[:out_len]
+                elif self.history_len:
+                    y, newhist = _block_filt_step(self.history, x, Gd,
+                                                  s0, B, M, W, out_len)
                 else:
-                    y = _block_matmul(xcat, Gd, s0, B, M, W, out_len)
+                    y = _block_matmul(x, Gd, s0, B, M, W, out_len)
             else:
                 y = jnp.zeros((0,) + x.shape[1:],
                               _tap_dtype(np.asarray(self.h).dtype, x.dtype))
         k.commit(xlen, out_len)
         if self.history_len:
-            self.history = xcat[xcat.shape[0] - self.history_len:]
+            if newhist is not None:
+                self.history = newhist
+            else:
+                if xcat is None:
+                    xcat = jnp.concatenate([self.history, x], axis=0)
+                self.history = xcat[xcat.shape[0] - self.history_len:]
         return y
 
     __call__ = filt
