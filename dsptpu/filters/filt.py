@@ -198,11 +198,11 @@ if _os.environ.get("DSPTPU_NO_PALLAS", "") == "1":
     _PALLAS_IIR = False
 
 
-def _pallas_iir_ok(ss, x, need_state):
-    if need_state or _PALLAS_IIR is False:
+def _pallas_iir_ok(ss, n, dtype):
+    if _PALLAS_IIR is False:
         return False
     from ..kernels.biir import biir_supported
-    if not (biir_supported(ss, x.dtype) and x.shape[0] >= 4 * ss.V):
+    if not (biir_supported(ss, dtype) and n >= 4 * ss.V):
         return False
     if _PALLAS_IIR is True:
         return True
@@ -213,7 +213,8 @@ def _pallas_iir_ok(ss, x, need_state):
         return False
 
 
-def _blockss_apply(ss, x, z0, need_state=True):
+def _blockss_apply(ss, x, z0, need_state=True, transposed=False,
+                   reverse=False):
     """Apply the block state-space system over x (n, C) with initial
     state z0 (p, C); returns (y (n, C), z_final (p, C) or None).
 
@@ -225,10 +226,29 @@ def _blockss_apply(ss, x, z0, need_state=True):
     replaces the reference's per-sample per-section loop
     (filt.jl:39-49) at ~2V+4p FLOPs/sample of MXU-shaped work. On TPU,
     when no streaming state is needed, the whole pass runs as ONE
-    fused Pallas kernel (kernels/biir.py)."""
+    fused Pallas kernel (kernels/biir.py).
+
+    With transposed=True, x is (C, n) lane-major and y is returned
+    (C, n) — the layout all internal work uses anyway. Time-major
+    (n, C) arrays with few channels pad the trailing dim to 128 lanes
+    on TPU, so callers chaining several passes (filtfilt) should stay
+    in the transposed domain throughout.
+
+    With reverse=True, computes the ANTI-CAUSAL pass
+    rev(apply(rev(x))) with z0 the state entering from the RIGHT —
+    equivalent to flipping the data twice but with the time reversal
+    folded into the host tables (F -> F', K/G index-mirrored) and the
+    boundary chain run right-to-left. A lane-axis flip of the signal
+    costs ~0.4 ms/Msample on v5e (more than the whole filter pass);
+    this costs nothing."""
     dtype = x.dtype
-    n, C = x.shape
-    if _pallas_iir_ok(ss, x, need_state):
+    if transposed:
+        C, n = x.shape
+    else:
+        n, C = x.shape
+    if reverse and need_state:
+        raise NotImplementedError("reverse pass does not produce state")
+    if not need_state and _pallas_iir_ok(ss, n, dtype):
         from ..kernels.biir import blockss_filt_pallas
         import jax as _jax
         interp = False
@@ -236,26 +256,41 @@ def _blockss_apply(ss, x, z0, need_state=True):
             interp = _jax.devices()[0].platform in ("cpu",)
         except Exception:
             interp = True
-        y = blockss_filt_pallas(ss, x, z0, interpret=interp)
+        y = blockss_filt_pallas(ss, x, z0, interpret=interp,
+                                transposed=transposed, reverse=reverse)
         return y, None
     V, p = ss.V, ss.p
     B = -(-n // V)
     npad = B * V - n
-    xT = x.T                                             # (C, n)
+    xT = x if transposed else x.T                        # (C, n)
     if npad:
-        xT = jnp.pad(xT, ((0, 0), (0, npad)))
+        # pad on the side processed LAST so the pad never sits between
+        # z0 and the true signal
+        xT = jnp.pad(xT, ((0, 0), (npad, 0) if reverse else (0, npad)))
     X = xT.reshape(C * B, V)
     prec = lax.Precision.HIGHEST
-    Ylocal = jnp.dot(X, jnp.asarray(ss.F.T).astype(dtype),
+    Fh = ss.F if reverse else ss.F.T                     # X @ Fh
+    Kh = ss.K[:, ::-1].T if reverse else ss.K.T
+    Gh = ss.G[::-1] if reverse else ss.G
+    Ylocal = jnp.dot(X, jnp.asarray(Fh).astype(dtype),
                      preferred_element_type=dtype, precision=prec)
-    Zinc = jnp.dot(X, jnp.asarray(ss.K.T).astype(dtype),
+    Zinc = jnp.dot(X, jnp.asarray(Kh).astype(dtype),
                    preferred_element_type=dtype, precision=prec)
-    Z = _affine_rec(ss.AV, Zinc.reshape(C, B, p), z0)    # (C, B, p)
-    Zstart = jnp.concatenate([z0.T[:, None, :], Z[:, :-1]], axis=1)
+    U = Zinc.reshape(C, B, p)
+    if reverse:
+        Zr = _affine_rec(ss.AV, U[:, ::-1], z0)          # (C, B, p)
+        Zstart = jnp.concatenate([z0.T[:, None, :], Zr[:, :-1]],
+                                 axis=1)[:, ::-1]
+    else:
+        Z = _affine_rec(ss.AV, U, z0)                    # (C, B, p)
+        Zstart = jnp.concatenate([z0.T[:, None, :], Z[:, :-1]], axis=1)
     Y = Ylocal.reshape(C, B, V) + jnp.einsum(
-        "cbp,vp->cbv", Zstart, jnp.asarray(ss.G).astype(dtype),
+        "cbp,vp->cbv", Zstart, jnp.asarray(Gh).astype(dtype),
         precision=prec)
-    y = Y.reshape(C, B * V)[:, :n].T
+    y = Y.reshape(C, B * V)[:, npad:] if reverse else \
+        Y.reshape(C, B * V)[:, :n]
+    if not transposed:
+        y = y.T
     if not need_state:
         return y, None
     if npad == 0:
@@ -299,7 +334,14 @@ def _stack_cascade(sos, g=1.0):
     Eliminating the chain gives one (2K, 2K) block-lower-triangular
     transition whose state vector is the per-section states stacked in
     order — so streaming si (2, nsec) maps losslessly to/from the
-    stacked z. Host float64 only (reference semantics filt.jl:35-65)."""
+    stacked z. Host float64 only (reference semantics filt.jl:35-65).
+
+    Conditioning note (measured): although ZPK->SOS cascades with the
+    gain applied last have large intermediate transients (butter(8,.2):
+    ||A^8||~3e3, K entries ~8e3), the f32 block tables still deliver
+    ~2e-7 relative output error — table entries carry *relative* f32
+    error and the w-projection scales state errors back down. Unit-peak
+    gain staging of the sections was tried and gave no improvement."""
     sos = np.asarray(sos, dtype=np.float64).reshape(-1, 5)
     K = sos.shape[0]
     p = 2 * K
@@ -538,6 +580,27 @@ def _extrapolate(x, pad):
     return jnp.concatenate([front, x, back], axis=0)
 
 
+def _extrapolate_T(xT, pad):
+    """_extrapolate in the lane-major (C, n) domain."""
+    if pad == 0:
+        return xT
+    front = 2 * xT[:, :1] - xT[:, pad:0:-1]
+    back = 2 * xT[:, -1:] - xT[:, -2: -pad - 2: -1]
+    return jnp.concatenate([front, xT, back], axis=-1)
+
+
+def _to_T(flat):
+    """(n, C) -> (C, n): free for C == 1 (pure reshape, same linear
+    order), one relayout copy otherwise."""
+    n, C = flat.shape
+    return flat.reshape(1, n) if C == 1 else flat.T
+
+
+def _from_T(yT):
+    C, n = yT.shape
+    return yT.reshape(n, 1) if C == 1 else yT.T
+
+
 def filtfilt(f, a=None, x=None):
     """Zero-phase filtering: forward and reverse pass with steady-state
     initial conditions and odd-symmetric edge extrapolation (reference
@@ -569,24 +632,32 @@ def _filtfilt_fir(b, x):
 
 
 def _iir_filtfilt(b, a, x):
+    """Whole composition in the lane-major (C, n) domain: every
+    intermediate op (edge extension, flips, slices) on a time-major
+    (n, 1) array pays a 128x lane-padding traffic penalty on TPU
+    (measured: 1.98 ms filtfilt where the two filter passes cost
+    0.25 ms)."""
     pad = min(3 * (max(len(a), len(b)) - 1), x.shape[0] - 1)
     zi, bp, ap = filt_stepstate(b, a)
     flat, restore = _flatten_channels(x)
     dtype = jnp.result_type(flat.dtype, np.float64)
-    flat = flat.astype(dtype)
+    n = flat.shape[0]
+    xT = _to_T(flat.astype(dtype))
     zij = jnp.asarray(zi, dtype)
 
-    ext = _extrapolate(flat, pad)
-    y1, _ = _affine_apply(bp, ap, ext, zij[:, None] * ext[0][None, :],
-                          need_state=False)
-    y1r = y1[::-1]
-    y2, _ = _affine_apply(bp, ap, y1r, zij[:, None] * y1r[0][None, :],
-                          need_state=False)
-    y = y2[::-1]
-    return restore(y[pad: pad + x.shape[0]] if pad else y)
+    ss = _blockss(*_single_ss(bp, ap))
+    extT = _extrapolate_T(xT, pad)
+    y1, _ = _blockss_apply(ss, extT, zij[:, None] * extT[:, 0][None, :],
+                           need_state=False, transposed=True)
+    y2, _ = _blockss_apply(ss, y1, zij[:, None] * y1[:, -1][None, :],
+                           need_state=False, transposed=True,
+                           reverse=True)
+    yT = y2[:, pad: pad + n] if pad else y2
+    return restore(_from_T(yT))
 
 
 def _filtfilt_sos(f, x):
+    """Lane-major (C, n) composition throughout — see _iir_filtfilt."""
     sos, g = _sos_arrays(f)
     nsec = sos.shape[0]
     x = jnp.asarray(x)
@@ -594,17 +665,24 @@ def _filtfilt_sos(f, x):
 
     flat, restore = _flatten_channels(x)
     dtype = jnp.result_type(flat.dtype, jnp.float64)
-    flat = flat.astype(dtype)
-    zij = jnp.asarray(filt_stepstate_sos(sos), dtype)
+    n = flat.shape[0]
+    xT = _to_T(flat.astype(dtype))
+    # stacked-state initial condition rows ordered (z1_0, z2_0, z1_1,
+    # ...) to match _stack_cascade (same reshape as _sosfilt)
+    ss = _blockss(*_stack_cascade(np.asarray(sos, np.float64), float(g)))
+    zi_np = np.swapaxes(filt_stepstate_sos(sos), 0, 1).reshape(2 * nsec)
+    zstack = jnp.asarray(zi_np, dtype)
 
-    ext = _extrapolate(flat, pad)
-    y1, _ = _sosfilt(sos, g, ext, zij[:, :, None] * ext[0][None, None, :],
-                     need_state=False)
-    y1r = y1[::-1]
-    y2, _ = _sosfilt(sos, g, y1r, zij[:, :, None] * y1r[0][None, None, :],
-                     need_state=False)
-    y = y2[::-1]
-    return restore(y[pad: pad + x.shape[0]] if pad else y)
+    extT = _extrapolate_T(xT, pad)
+    y1, _ = _blockss_apply(ss, extT,
+                           zstack[:, None] * extT[:, 0][None, :],
+                           need_state=False, transposed=True)
+    y2, _ = _blockss_apply(ss, y1,
+                           zstack[:, None] * y1[:, -1][None, :],
+                           need_state=False, transposed=True,
+                           reverse=True)
+    yT = y2[:, pad: pad + n] if pad else y2
+    return restore(_from_T(yT))
 
 
 # ---------------------------------------------------------------------------

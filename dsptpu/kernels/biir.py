@@ -58,11 +58,18 @@ def _pad128(m):
 
 
 def _kernel(x_ref, z0_ref, ft_ref, kt_ref, gt_ref, a1t_ref, apow_ref,
-            o_ref, carry, *, TB, nsteps, prec):
+            o_ref, carry, *, TB, nsteps, prec, reverse):
     """Grid (C, nchunks). x_ref block: (1, TB, 128) rows; z0_ref block
-    (1, 128); apow_ref: (nsteps, 128, 128) stacked (A^{2^s})' tables;
+    (1, 1, 128) — 3-D so the per-channel block keeps its trailing dims
+    equal to the full array dims (Mosaic blockspec rule for C > 1);
+    apow_ref: (nsteps, 128, 128) stacked (A^{2^s})' tables;
     a1t_ref: (128, 128) = A'; carry: (8, 128) scratch, row 0 = state
-    entering this chunk."""
+    entering this chunk.
+
+    With reverse=True (anti-causal pass), the index_maps feed chunks
+    right-to-left, the in-chunk scan is a SUFFIX scan, and the
+    ft/kt/gt tables are the time-mirrored ones (_dev_tables) — the
+    carry then crosses chunks right-to-left."""
     b = pl.program_id(1)
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=prec)
@@ -70,48 +77,69 @@ def _kernel(x_ref, z0_ref, ft_ref, kt_ref, gt_ref, a1t_ref, apow_ref,
 
     @pl.when(b == 0)
     def _():
-        carry[0:1, :] = z0_ref[...]
+        carry[0:1, :] = z0_ref[0]
 
     zc = carry[0:1, :]                                 # (1, 128)
     U = dot(X, kt_ref[:])                              # (TB, 128) states
-    # fold the entering state into row 0: u_0 += A @ z_carry
+    # fold the entering state into the first-processed row:
+    # u_edge += A @ z_carry
     cin = dot(zc, a1t_ref[:])                          # (1, 128)
     rows = jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0)
-    U = U + jnp.where(rows == 0, jnp.broadcast_to(cin, (TB, _V)), 0.0)
-    # inclusive prefix scan: z_r = sum_{i<=r} A^{r-i} u_i
+    edge = TB - 1 if reverse else 0
+    U = U + jnp.where(rows == edge, jnp.broadcast_to(cin, (TB, _V)), 0.0)
+    # inclusive scan: prefix z_r = sum_{i<=r} A^{r-i} u_i, or suffix
+    # z_r = sum_{i>=r} A^{i-r} u_i for the anti-causal pass
     Z = U
     for s in range(nsteps):
         sh = 1 << s
-        shifted = pltpu.roll(Z, sh, 0)
-        shifted = jnp.where(rows >= sh, shifted, 0.0)
+        if reverse:
+            shifted = pltpu.roll(Z, TB - sh, 0)    # cyclic == roll by -sh
+            shifted = jnp.where(rows < TB - sh, shifted, 0.0)
+        else:
+            shifted = pltpu.roll(Z, sh, 0)
+            shifted = jnp.where(rows >= sh, shifted, 0.0)
         Z = Z + dot(shifted, apow_ref[s])
-    # states entering each row: (z_carry, z_0 .. z_{TB-2})
-    zs = pltpu.roll(Z, 1, 0)
-    Zstart = jnp.where(rows >= 1, zs, 0.0) \
-        + jnp.where(rows == 0, jnp.broadcast_to(zc, (TB, _V)), 0.0)
+    # states entering each row from the processed side
+    if reverse:
+        zs = pltpu.roll(Z, TB - 1, 0)              # cyclic == roll by -1
+        Zstart = jnp.where(rows < TB - 1, zs, 0.0) \
+            + jnp.where(rows == edge, jnp.broadcast_to(zc, (TB, _V)), 0.0)
+    else:
+        zs = pltpu.roll(Z, 1, 0)
+        Zstart = jnp.where(rows >= 1, zs, 0.0) \
+            + jnp.where(rows == edge, jnp.broadcast_to(zc, (TB, _V)), 0.0)
     Y = dot(X, ft_ref[:]) + dot(Zstart, gt_ref[:])
     o_ref[0] = Y
-    carry[0:1, :] = Z[TB - 1: TB, :]
+    if reverse:
+        carry[0:1, :] = Z[0:1, :]
+    else:
+        carry[0:1, :] = Z[TB - 1: TB, :]
 
 
 @functools.partial(jax.jit, static_argnames=("TB", "precision",
-                                             "interpret"))
-def _biir_jit(xrows, z0, ft, kt, gt, a1t, apow, TB, precision, interpret):
+                                             "interpret", "reverse"))
+def _biir_jit(xrows, z0, ft, kt, gt, a1t, apow, TB, precision, interpret,
+              reverse=False):
     C, Bp, _ = xrows.shape
     nchunks = Bp // TB
-    nsteps = max((TB - 1).bit_length(), 1)
-    assert apow.shape[0] == nsteps
+    nsteps = apow.shape[0]       # may be truncated below log2(TB) —
+    # see _dev_tables adaptive scan depth
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT}[precision]
+    if reverse:
+        chunk_map = lambda c, b: (c, nchunks - 1 - b, 0)
+    else:
+        chunk_map = lambda c, b: (c, b, 0)
     return pl.pallas_call(
-        functools.partial(_kernel, TB=TB, nsteps=nsteps, prec=prec),
+        functools.partial(_kernel, TB=TB, nsteps=nsteps, prec=prec,
+                          reverse=reverse),
         out_shape=jax.ShapeDtypeStruct((C, Bp, _V), jnp.float32),
         grid=(C, nchunks),
         in_specs=[
-            pl.BlockSpec((1, TB, _V), lambda c, b: (c, b, 0),
+            pl.BlockSpec((1, TB, _V), chunk_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _V), lambda c, b: (c, 0),
+            pl.BlockSpec((1, 1, _V), lambda c, b: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_V, _V), lambda c, b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -124,7 +152,7 @@ def _biir_jit(xrows, z0, ft, kt, gt, a1t, apow, TB, precision, interpret):
             pl.BlockSpec((apow.shape[0], _V, _V), lambda c, b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TB, _V), lambda c, b: (c, b, 0),
+        out_specs=pl.BlockSpec((1, TB, _V), chunk_map,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((8, _V), jnp.float32)],
         interpret=interpret,
@@ -134,22 +162,40 @@ def _biir_jit(xrows, z0, ft, kt, gt, a1t, apow, TB, precision, interpret):
 _tab_cache = {}
 
 
-def _dev_tables(ss, TB):
+def _dev_tables(ss, TB, reverse=False):
     """HOST numpy tables (cached); converted to device constants at
     each trace site — caching jnp arrays here would leak tracers
-    across jit scopes."""
-    key = (id(ss), TB)
+    across jit scopes. reverse=True yields the time-mirrored tables of
+    the anti-causal pass (F -> F', K columns / G rows flipped; AV and
+    its powers are direction-independent)."""
+    key = (id(ss), TB, reverse)
     hit = _tab_cache.get(key)
     if hit is None:
         nsteps = max((TB - 1).bit_length(), 1)
         # row-vector convention: z_row @ M' == (M @ z)'
-        ft = ss.F.T.astype(np.float32)                     # X @ F'
-        kt = _pad128(ss.K.T).astype(np.float32)            # X @ K'
-        gt = _pad128(ss.G.T).astype(np.float32)
+        if reverse:
+            ft = ss.F.astype(np.float32)                   # X @ (F')'
+            kt = _pad128(ss.K[:, ::-1].T).astype(np.float32)
+            gt = _pad128(ss.G[::-1].T).astype(np.float32)
+        else:
+            ft = ss.F.T.astype(np.float32)                 # X @ F'
+            kt = _pad128(ss.K.T).astype(np.float32)        # X @ K'
+            gt = _pad128(ss.G.T).astype(np.float32)
         a1t = _pad128(ss.AV.T).astype(np.float32)
         pw = np.linalg.matrix_power
-        apow = np.stack([_pad128(pw(ss.AV, 1 << s).T)
-                         for s in range(nsteps)]).astype(np.float32)
+        apow_full = [pw(ss.AV, 1 << s) for s in range(nsteps)]
+        # adaptive scan depth: AV = A^128 decays like pole_radius^128,
+        # so for well-damped filters ||AV^{2^s}|| hits f32 noise after
+        # 1-3 doubling steps — truncating the Hillis-Steele there drops
+        # only contributions below 1e-9 relative (exact at f32). High-Q
+        # filters (poles near the unit circle) keep the full depth.
+        keep = nsteps
+        for s in range(nsteps):
+            if np.linalg.norm(apow_full[s], 2) < 1e-9:
+                keep = s + 1      # one sub-noise step still closes the
+                break             # prefix over rows beyond 2^s
+        apow = np.stack([_pad128(m.T)
+                         for m in apow_full[:keep]]).astype(np.float32)
         hit = (ft, kt, gt, a1t, apow)
         if len(_tab_cache) > 128:
             _tab_cache.clear()
@@ -158,23 +204,38 @@ def _dev_tables(ss, TB):
 
 
 def blockss_filt_pallas(ss, x, z0, TB=256, precision="highest",
-                        interpret=False):
+                        interpret=False, transposed=False,
+                        reverse=False):
     """Apply the block state-space system `ss` (filters.filt._BlockSS,
-    V=128) over x (n, C) f32 with initial state z0 (p, C). Returns
-    y (n, C); the final state is not produced (use the XLA path for
-    streaming continuation)."""
-    n, C = x.shape
+    V=128) over x (n, C) f32 — or (C, n) lane-major with
+    transposed=True, returning (C, n) — with initial state z0 (p, C).
+    The final state is not produced (use the XLA path for streaming
+    continuation). reverse=True runs the anti-causal pass
+    rev(apply(rev(x))) with z0 entering from the right — no data flip
+    is materialized (see filters.filt._blockss_apply)."""
+    x = jnp.asarray(x)
+    if transposed:
+        C, n = x.shape
+        xT = x
+    else:
+        n, C = x.shape
+        xT = x.T                                           # (C, n)
     p = ss.p
     B = -(-n // _V)
     nchunks = -(-B // TB)
     Bp = nchunks * TB
-    xT = jnp.asarray(x).T                                  # (C, n)
-    if Bp * _V > n:
-        xT = jnp.pad(xT, ((0, 0), (0, Bp * _V - n)))
+    npad = Bp * _V - n
+    if npad:
+        # pad on the side processed LAST so the pad never sits between
+        # z0 and the true signal
+        xT = jnp.pad(xT, ((0, 0), (npad, 0) if reverse else (0, npad)))
     xrows = xT.reshape(C, Bp, _V)
-    z0p = jnp.zeros((C, _V), jnp.float32).at[:, :p].set(jnp.asarray(z0).T)
+    z0p = jnp.zeros((C, _V), jnp.float32).at[:, :p].set(
+        jnp.asarray(z0).T).reshape(C, 1, _V)
     ft, kt, gt, a1t, apow = (jnp.asarray(t)
-                             for t in _dev_tables(ss, TB))
+                             for t in _dev_tables(ss, TB, reverse))
     y = _biir_jit(xrows, z0p, ft, kt, gt, a1t, apow, TB, precision,
-                  interpret)
-    return y.reshape(C, Bp * _V)[:, :n].T
+                  interpret, reverse)
+    y = y.reshape(C, Bp * _V)
+    y = y[:, npad:] if reverse else y[:, :n]
+    return y if transposed else y.T

@@ -123,6 +123,33 @@ class TestBiirKernel:
                                        np.asarray(y_ref), rtol=1e-4,
                                        atol=1e-5)
 
+    def test_reverse_pass_matches_flipped_forward(self):
+        """Anti-causal (reverse=True) == flip -> forward -> flip, for
+        both the XLA path and the Pallas kernel, including channels and
+        non-multiple-of-128 lengths."""
+        from dsptpu.filters.filt import (_blockss, _stack_cascade,
+                                         _blockss_apply)
+        from dsptpu.kernels.biir import blockss_filt_pallas
+        from scipy import signal as sp
+        sos = sp.butter(6, 0.25, output="sos")
+        sos5 = np.column_stack([sos[:, :3], sos[:, 4:]])
+        ss = _blockss(*_stack_cascade(sos5, 1.0))
+        for n, C, TB in [(30011, 1, 4), (4096, 3, 8), (1000, 16, 2)]:
+            x = rng.standard_normal((n, C)).astype(np.float32)
+            z0 = jnp.asarray(
+                rng.standard_normal((ss.p, C)).astype(np.float32))
+            fwd, _ = _blockss_apply(ss, jnp.asarray(x[::-1].copy()), z0,
+                                    need_state=False)
+            want = np.asarray(fwd)[::-1]
+            got_xla, _ = _blockss_apply(ss, jnp.asarray(x), z0,
+                                        need_state=False, reverse=True)
+            np.testing.assert_allclose(np.asarray(got_xla), want,
+                                       rtol=1e-4, atol=1e-5)
+            got_pal = blockss_filt_pallas(ss, jnp.asarray(x), z0, TB=TB,
+                                          interpret=True, reverse=True)
+            np.testing.assert_allclose(np.asarray(got_pal), want,
+                                       rtol=1e-4, atol=1e-5)
+
     def test_filtfilt_forced_pallas(self, monkeypatch):
         import importlib
         ffmod = importlib.import_module("dsptpu.filters.filt")
