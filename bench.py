@@ -169,10 +169,11 @@ def main():
          + 0.1 * rng.standard_normal(n)).astype(dtype)
     xj, hj = jnp.asarray(x), jnp.asarray(h)
     fir = jax.jit(lambda b, s: dsptpu.filt(b, s))
-    t_dev = _timeit(fir, hj, xj, k=64)
+    t_dev = _timeit(fir, hj, xj, k=256)  # sub-0.2ms/call: long chain
     t_cpu = _cpu_time(lambda: sp.lfilter(h, [1.0], x[: n // 8])) * 8
     record("fir_127tap", n, t_dev, t_cpu, min_bytes=2 * 4 * n,
-           flops=2.0 * n * 128)  # block-Toeplitz matmul, 128-padded taps
+           flops=2.0 * n * 256)  # row-shift kernel: M+1=2 lane-mixing
+    #                              128-wide matmuls per sample
 
     # -- config 2: overlap-save 4096-tap FIR, 16ch x 10M --------------------
     nch, n2 = 16, 10_000_000 // (scale * 4 if not on_tpu else 1)
