@@ -74,33 +74,52 @@ def _tables(nfft, N1, win):
             w2.real.astype(f32), w2.imag.astype(f32), wp.astype(f32))
 
 
-def _kernel(q_hbm, twre, twim, w2re, w2im, wp, o_ref, scratch, sem, *,
+def _kernel(q_hbm, w2re, w2im, wp, o_ref, scratch, sem, *,
             w1re, w1im, TB, N1, rows, hr, nrq, pad, nblocks, prec,
             accum, valid_last):
-    """Grid (C, nblocks). q_hbm: (C*hr*nrq, 128) flattened row planes;
-    scratch (hr, pad, 128). o_ref: (1, 1, rows, 128) PSD accumulator
-    block when accum, else (1, 1, N1, TB, 128) per-frame block. For a
-    one-sided PSD only rows = N1//2 + 1 k1-rows are emitted: real
-    input gives |X[k]| = |X[nfft-k]|, and bin nfft-k lives at
-    (N1-k1, 127-k2) — the mirrored half is pure duplication."""
-    c = pl.program_id(0)
-    b = pl.program_id(1)
-    # start every plane DMA, then wait: copies overlap instead of
-    # serializing hr round trips
+    """Grid (C*nblocks,) linearized; step i handles (c, b) =
+    divmod(i, nblocks). q_hbm: (C*hr*nrq, 128) flattened row planes;
+    scratch (2, hr, pad, 128), double-buffered: step i waits on the
+    copies step i-1 started for it and prefetches step i+1's planes —
+    manual DMAs otherwise SERIALIZE with compute (no Mosaic auto-
+    pipelining; measured ~20% of the welch pass). o_ref:
+    (1, 1, rows, 128) PSD accumulator block when accum, else
+    (1, 1, N1, TB, 128) per-frame block. For a one-sided PSD only
+    rows = N1//2 + 1 k1-rows are emitted: real input gives
+    |X[k]| = |X[nfft-k]|, and bin nfft-k lives at (N1-k1, 127-k2) —
+    the mirrored half is pure duplication."""
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    nb32 = jnp.int32(nblocks)
+    c = i // nb32
+    b = jax.lax.rem(i, nb32)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    nxt = jax.lax.rem(i + 1, jnp.int32(2))
+
+    def start_planes(step, buf):
+        cs = step // nb32
+        bs = jax.lax.rem(step, nb32)
+        for m in range(hr):
+            pltpu.make_async_copy(
+                q_hbm.at[pl.ds((cs * hr + m) * nrq + bs * TB, pad), :],
+                scratch.at[buf, m], sem.at[buf, m]).start()
+
+    @pl.when(i == 0)
+    def _():
+        start_planes(i, slot)
+
+    @pl.when(i + 1 < nsteps)
+    def _():
+        start_planes(i + 1, nxt)
+
     for m in range(hr):
         pltpu.make_async_copy(
             q_hbm.at[pl.ds((c * hr + m) * nrq + b * TB, pad), :],
-            scratch.at[m], sem.at[m]).start()
-    for m in range(hr):
-        pltpu.make_async_copy(
-            q_hbm.at[pl.ds((c * hr + m) * nrq + b * TB, pad), :],
-            scratch.at[m], sem.at[m]).wait()
+            scratch.at[slot, m], sem.at[slot, m]).wait()
 
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=prec)
-    w2re = w2re[:]
-    w2im = w2im[:]
-    planes = [scratch[j1 % hr, j1 // hr: j1 // hr + TB, :]
+    planes = [scratch[slot, j1 % hr, j1 // hr: j1 // hr + TB, :]
               * wp[j1, :][None, :] for j1 in range(N1)]
     if accum and valid_last != TB:
         # zero frames past the true frame count in the last block; a
@@ -136,8 +155,12 @@ def _kernel(q_hbm, twre, twim, w2re, w2im, wp, o_ref, scratch, sem, *,
                 bim if bim is not None else zero())
 
     # real input planes: B[N1-k1] = conj(B[k1]) — compute the first
-    # stage only for k1 <= N1/2 and fold the conjugation's sign into
-    # the twiddle combine (no extra tile ops)
+    # stage only for k1 <= N1/2; the per-k1 twiddle AND the mirrored
+    # half's conjugation signs are folded into the stage-2 matrices
+    # (w2re/w2im are (rows, 128, 128) stacks, see _tables) — the
+    # in-kernel twiddle combine used to cost 6 VMEM tile ops per k1
+    # row, ~30% of the whole pass (the kernel is VMEM-BW-bound on tile
+    # ops, not MXU-bound).
     cache = {}
     for k1 in range(rows):
         mirrored = k1 > N1 // 2
@@ -146,19 +169,8 @@ def _kernel(q_hbm, twre, twim, w2re, w2im, wp, o_ref, scratch, sem, *,
             cache[k1] = (bre, bim)
         else:
             bre, bim = cache[N1 - k1]
-        # twiddle (elementwise, row k1 broadcast over frames); for the
-        # mirrored half bim carries an implicit -1 folded into the signs
-        tr = twre[k1, :][None, :]
-        ti = twim[k1, :][None, :]
-        if not mirrored:
-            cre = bre * tr - bim * ti
-            cim = bre * ti + bim * tr
-        else:
-            cre = bre * tr + bim * ti
-            cim = bre * ti - bim * tr
-        # long-stage DFT on the MXU
-        dre = dot(cre, w2re) - dot(cim, w2im)
-        dim = dot(cre, w2im) + dot(cim, w2re)
+        dre = dot(bre, w2re[k1]) - dot(bim, w2im[k1])
+        dim = dot(bre, w2im[k1]) + dot(bim, w2re[k1])
         pw = dre * dre + dim * dim                  # (TB, 128)
         if accum:
             row = jnp.sum(pw, axis=0, keepdims=True)    # (1, 128)
@@ -226,18 +238,31 @@ def _stft_pow_jit(x, wp, nfft, hop, nframes, accumulate,
     q = jnp.swapaxes(rows, 1, 2).reshape(C * hr * nrq, 128)  # row planes
 
     w1re, w1im, twre, twim, w2re, w2im, _ = _tables(nfft, N1, None)
-    tab = [jnp.asarray(t) for t in (twre, twim, w2re, w2im)] + [wp]
-
     rows = N1 // 2 + 1 if onesided else N1
+    # per-k1 stage-2 matrices M_k1 = diag(T[k1]) @ W2 with the
+    # mirrored half's conjugation folded in (output is |.|^2, so the
+    # mirrored rows' dim sign flip is free): kills the in-kernel
+    # twiddle tile ops (the kernel is VMEM-BW-bound on tile ops)
+    tw = twre + 1j * twim
+    w2 = w2re + 1j * w2im
+    m2re = np.empty((rows, 128, 128), np.float32)
+    m2im = np.empty((rows, 128, 128), np.float32)
+    for k1 in range(rows):
+        M = tw[k1][:, None] * w2
+        m2re[k1] = M.real.astype(np.float32)
+        s = -1.0 if k1 > N1 // 2 else 1.0
+        m2im[k1] = (s * M.imag).astype(np.float32)
+    tab = [jnp.asarray(m2re), jnp.asarray(m2im), wp]
     if accumulate:
         out_shape = (C, 1, rows, 128)
         out_specs = pl.BlockSpec((1, 1, rows, 128),
-                                 lambda c, b: (c, 0, 0, 0),
+                                 lambda i: (i // nblocks, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
         out_shape = (C, nblocks, N1, TB, 128)
         out_specs = pl.BlockSpec((1, 1, N1, TB, 128),
-                                 lambda c, b: (c, b, 0, 0, 0),
+                                 lambda i: (i // nblocks, i % nblocks,
+                                            0, 0, 0),
                                  memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
@@ -246,24 +271,20 @@ def _stft_pow_jit(x, wp, nfft, hop, nframes, accumulate,
                           nblocks=nblocks, prec=prec, accum=accumulate,
                           valid_last=valid_last),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
-        grid=(C, nblocks),
+        grid=(C * nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((N1, 128), lambda c, b: (0, 0),
+            pl.BlockSpec((rows, 128, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N1, 128), lambda c, b: (0, 0),
+            pl.BlockSpec((rows, 128, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda c, b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda c, b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N1, 128), lambda c, b: (0, 0),
+            pl.BlockSpec((N1, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((hr, pad, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((hr,)),
+            pltpu.VMEM((2, hr, pad, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, hr)),
         ],
         interpret=interpret,
     )(q, *tab)
