@@ -234,6 +234,17 @@ def main():
     record("resample_147_160", n4, t_dev, t_cpu,
            min_bytes=int(4 * n4 * (1 + 147 / 160)),
            flops=2.0 * n4 * (147 / 160) * W4 * 1)
+    # BASELINE config 4 also names the 3//2 rate (48k -> 32k family)
+    h4b = np.asarray(dsptpu.resample_filter(Fraction(3, 2))).astype(dtype)
+    sfb = stream_filt.FIRFilter(h4b, Fraction(3, 2))
+
+    def poly_dev_b(xc):
+        sfb.reset()
+        return sfb.filt(xc)
+
+    t_dev_b = _timeit(poly_dev_b, x4j, k=64)
+    extra["resample_3_2_msps"] = round(n4 / t_dev_b / 1e6, 1)
+    _log(f"  resample 3//2: {n4/t_dev_b/1e6:.1f} MS/s")
 
     # -- config 5: IIR filtfilt (SOS8) + LPC (Levinson, order 16) -----------
     n5 = 1_000_000 // scale

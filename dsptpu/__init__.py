@@ -16,6 +16,7 @@ from .ops.dspbase import conv, deconv, xcorr
 from .filters import (filt, sosfilt, DF2TFilter, filtfilt, fftfilt, tdfilt,
                       ZeroPoleGain, PolynomialRatio, Biquad,
                       SecondOrderSections, coefb, coefa,
+                      FilterCoefficients, FilterType,
                       Butterworth, Chebyshev1, Chebyshev2, Elliptic,
                       Lowpass, Highpass, Bandpass, Bandstop, ComplexBandpass,
                       analogfilter, digitalfilter, bilinear, iirnotch,
@@ -34,7 +35,8 @@ from .ops.multitaper import (MTConfig, MTSpectrogramConfig,
                          mt_pgram, mt_spectrogram,
                              mt_cross_power_spectra, mt_coherence,
                              coherence_from_cs)
-from .ops.lpc import lpc, arburg, levinson
+from .ops.lpc import lpc, arburg, levinson, LPCBurg, LPCLevinson
+from .ops.windows import rect
 from .ops.estimation import esprit, jacobsen, quinn
 from . import parallel
 from .utils.util import (hilbert, db2pow, db2amp, pow2db, amp2db, rms, rmsfft,
