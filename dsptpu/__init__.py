@@ -24,24 +24,28 @@ from .filters import (filt, sosfilt, DF2TFilter, filtfilt, fftfilt, tdfilt,
                       FIRFilter, resample, outputlength, inputlength,
                       freqresp, phaseresp, grpdelay, impresp, stepresp,
                       buttord, ellipord, cheb1ord, cheb2ord, remezord,
-                      remez, RemezFilterType)
+                      remez, RemezFilterType, filter_type_bandpass,
+                      filter_type_differentiator, filter_type_hilbert,
+                      timedelay)
 from .ops.periodograms import (arraysplit, periodogram, welch_pgram,
                                spectrogram, stft, WelchConfig, Periodogram,
                                Periodogram2, Spectrogram, power, freq,
                                tfr_time, fftshift_tfr)
 from .ops.multitaper import (MTConfig, MTSpectrogramConfig,
-                         MTCrossSpectraConfig, MTCoherenceConfig,
-                         dpss_config, allocate_output,
-                         mt_pgram, mt_spectrogram,
+                             MTCrossSpectraConfig, MTCoherenceConfig,
+                             dpss_config, allocate_output,
+                             mt_pgram, mt_spectrogram,
                              mt_cross_power_spectra, mt_coherence,
-                             coherence_from_cs)
+                             coherence, coherence_from_cs)
 from .ops.lpc import lpc, arburg, levinson, LPCBurg, LPCLevinson
 from .ops.windows import rect
 from .ops.estimation import esprit, jacobsen, quinn
 from . import parallel
-from .utils.util import (hilbert, db2pow, db2amp, pow2db, amp2db, rms, rmsfft,
+from .utils.util import (hilbert, db2pow, db2amp, pow2db, amp2db, dB, dBa,
+                         rms, rmsfft,
                          meanfreq, finddelay, shiftsignal, alignsignals,
-                         shiftin)
-from .utils.fftutil import nextfastfft, nextpow2
+                         shiftin, unsafe_dot)
+from .utils.fftutil import (nextfastfft, nextpow2, fftintype, fftouttype,
+                            fftabs2type)
 from .utils.unwrap import unwrap
 from .utils.diric import diric

@@ -9,7 +9,8 @@ from .design import (Butterworth, Chebyshev1, Chebyshev2, Elliptic,
 from .filt import (filt, sosfilt, DF2TFilter, filtfilt, fftfilt, tdfilt,
                    filt_stepstate, filt_stepstate_sos)
 from .stream_filt import (FIRFilter, taps2pfb, resample, polyphase_filt,
-                          outputlength, inputlength)
+                          outputlength, inputlength, timedelay)
 from .response import freqresp, phaseresp, grpdelay, impresp, stepresp
 from .filt_order import buttord, ellipord, cheb1ord, cheb2ord, remezord
-from .remez_fir import remez, RemezFilterType
+from .remez_fir import (remez, RemezFilterType, filter_type_bandpass,
+                        filter_type_differentiator, filter_type_hilbert)

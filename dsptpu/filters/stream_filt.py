@@ -29,7 +29,13 @@ import jax.numpy as jnp
 from .design import resample_filter
 
 __all__ = ["FIRFilter", "taps2pfb", "outputlength", "inputlength",
-           "resample", "polyphase_filt", "USE_PALLAS"]
+           "resample", "polyphase_filt", "timedelay", "USE_PALLAS"]
+
+
+def timedelay(f):
+    """Group delay of a streaming filter in input samples (reference
+    stream_filt.jl:400-403 exports the free function form)."""
+    return f.timedelay()
 
 # Opt-in Pallas TPU kernel for the block-polyphase path (vector input):
 # fuses the overlapped framing into VMEM instead of materializing the

@@ -25,7 +25,14 @@ __all__ = ["allocate_output",
            "MTConfig", "MTSpectrogramConfig", "MTCrossSpectraConfig",
            "MTCoherenceConfig", "dpss_config", "mt_pgram", "mt_spectrogram",
            "mt_cross_power_spectra", "mt_coherence", "CrossPowerSpectra",
-           "Coherence", "coherence_from_cs"]
+           "Coherence", "coherence", "coherence_from_cs"]
+
+
+def coherence(c):
+    """Accessor for the pairwise-coherence array of a Coherence result
+    (reference multitaper.jl:742-744, the `coherence(c::Coherence)`
+    companion of `power`/`freq`)."""
+    return c.coherence
 
 
 @dataclass(frozen=True)

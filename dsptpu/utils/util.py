@@ -17,7 +17,40 @@ __all__ = [
     "hilbert", "db2pow", "db2amp", "pow2db", "amp2db", "dB", "dBa",
     "rms", "rmsfft",
     "meanfreq", "shiftin", "finddelay", "shiftsignal", "alignsignals",
+    "unsafe_dot",
 ]
+
+
+def unsafe_dot(a, *args):
+    """Windowed dot products of the reference streaming engine
+    (util.jl:222-283), provided for API parity — the TPU streaming
+    path never calls per-output dots; it lowers whole blocks of them
+    to one banded matmul (filters.stream_filt._block_matmul).
+
+    Forms (indices 0-based; `last` is the index of the LAST element
+    of the window, inclusive):
+      unsafe_dot(a, b, last)          -> dot(a, b[last-len(a)+1 : last+1])
+      unsafe_dot(A, col, b, last)     -> same with a = A[:, col]
+      unsafe_dot(a, b, c, k)          -> dot(a, concat(b[k-1:], c[:k]))
+                                         (history b of len(a)-1 + new c)
+    """
+    a = jnp.asarray(a)
+    if a.ndim == 2:
+        col = args[0]
+        a = a[:, col]
+        args = args[1:]
+    n = a.shape[0]
+    if len(args) == 2:
+        b, last = jnp.asarray(args[0]), int(args[1])
+        return jnp.dot(a, jax.lax.dynamic_slice_in_dim(
+            b, last - n + 1, n), precision=jax.lax.Precision.HIGHEST)
+    b, c, k = jnp.asarray(args[0]), jnp.asarray(args[1]), int(args[2])
+    if b.shape[0] != n - 1:
+        raise ValueError("len(b) must equal len(a) - 1")
+    if not 1 <= k < n:
+        raise ValueError("k must be in [1, len(a))")
+    seg = jnp.concatenate([b[k - 1:], c[:k]])
+    return jnp.dot(a, seg, precision=jax.lax.Precision.HIGHEST)
 
 
 class _DBconvert:
