@@ -129,16 +129,24 @@ class PolynomialRatio(FilterCoefficients):
         return f"PolynomialRatio(domain={self.domain!r}, b={self.b!r}, a={self.a!r})"
 
 
+def _trim_trailing(c):
+    """Strip trailing zeros (harmless z^-k factors for filt), keeping
+    at least one coefficient — the reference's Laurent polynomials
+    carry minimal span."""
+    nz = np.flatnonzero(c)
+    return c[: nz[-1] + 1] if nz.size else c[:1]
+
+
 def coefb(f):
     """Numerator coefficients, highest power first — the `b` for filt()
     (reference coefficients.jl:199-207)."""
-    return as_polynomial_ratio(f).b
+    return _trim_trailing(as_polynomial_ratio(f).b)
 
 
 def coefa(f):
     """Denominator coefficients, highest power first — the `a` for filt()
     (reference coefficients.jl:209-216)."""
-    return as_polynomial_ratio(f).a
+    return _trim_trailing(as_polynomial_ratio(f).a)
 
 
 # ---------------------------------------------------------------------------
@@ -165,6 +173,27 @@ class Biquad(FilterCoefficients):
                       self.a1, self.a2, self.domain)
 
     __rmul__ = __mul__
+
+    def inv(self):
+        """1/H as a Biquad — requires b0 != 0 (reference
+        coefficients.jl Biquad inv)."""
+        if self.b0 == 0:
+            raise ValueError("cannot invert a Biquad with b0 == 0")
+        b0 = self.b0
+        return Biquad(1.0 / b0, self.a1 / b0, self.a2 / b0,
+                      self.b1 / b0, self.b2 / b0, self.domain)
+
+    def __pow__(self, e):
+        return SecondOrderSections([self], 1.0, self.domain) ** e
+
+    def __eq__(self, other):
+        return (isinstance(other, Biquad) and self.domain == other.domain
+                and (self.b0, self.b1, self.b2, self.a1, self.a2)
+                == (other.b0, other.b1, other.b2, other.a1, other.a2))
+
+    def __hash__(self):
+        return hash((self.b0, self.b1, self.b2, self.a1, self.a2,
+                     self.domain))
 
     def coefficients(self):
         return np.array([self.b0, self.b1, self.b2, self.a1, self.a2])
@@ -194,6 +223,23 @@ class SecondOrderSections(FilterCoefficients):
 
     __rmul__ = __mul__
 
+    def inv(self):
+        """1/H: invert every section and the gain (requires every
+        section's b0 != 0)."""
+        return SecondOrderSections([q.inv() for q in self.biquads],
+                                   1.0 / self.g, self.domain)
+
+    def __pow__(self, e):
+        e = int(e)
+        if e == 0:
+            return SecondOrderSections([Biquad(1.0, 0.0, 0.0, 0.0, 0.0,
+                                               self.domain)], 1.0,
+                                       self.domain)
+        base = self.inv() if e < 0 else self
+        ae = abs(e)
+        return SecondOrderSections(list(base.biquads) * ae,
+                                   base.g ** ae, self.domain)
+
     def sos_array(self):
         """(nsections, 5) float64 array [b0 b1 b2 a1 a2] per section —
         the flat form consumed by the device biquad-cascade kernel."""
@@ -217,23 +263,33 @@ def as_zpk(f):
     if isinstance(f, ZeroPoleGain):
         return f
     if isinstance(f, PolynomialRatio):
-        b, a = _trimz(f.b), _trimz(f.a)
         if f.domain == "z":
-            # equalize orders so delay zeros/poles at the origin are kept
+            # filt arrays: coefficient i multiplies z^-i. Multiplying
+            # num/den by z^(max len - 1) makes both POSITIVE-power
+            # polynomials whose coefficient arrays are b/a padded with
+            # TRAILING zeros — trailing-zero padding is what encodes
+            # delay zeros/poles at the origin (do NOT strip leading
+            # zeros first: b=[0,0,1] is the z^-2 delay, degree-0 in
+            # positive powers, not z^2)
+            b, a = np.atleast_1d(f.b), np.atleast_1d(f.a)
             if len(b) < len(a):
                 b = np.concatenate([b, np.zeros(len(a) - len(b))])
             elif len(a) < len(b):
                 a = np.concatenate([a, np.zeros(len(b) - len(a))])
-        # cancel common trailing zeros (shared x^-1 / x factors)
+        else:
+            b, a = _trimz(f.b), _trimz(f.a)
+        # cancel common trailing zeros (shared x^-1 / x factors), then
+        # strip leading zeros — correct for positive-power polynomial
+        # arrays (a delay numerator like [0, 0, 1] has degree 0)
         def _ntrail(c):
             nz = np.flatnonzero(c)
             return len(c) - 1 - nz[-1] if nz.size else 0
         t = min(_ntrail(b), _ntrail(a))
-        bb = b[: len(b) - t] if t else b
-        aa = a[: len(a) - t] if t else a
+        bb = _trimz(b[: len(b) - t] if t else b)
+        aa = _trimz(a[: len(a) - t] if t else a)
         z = np.roots(bb) if len(bb) > 1 else np.zeros(0, np.complex128)
         p = np.roots(aa) if len(aa) > 1 else np.zeros(0, np.complex128)
-        k = (b[0] / a[0])
+        k = (bb[0] / aa[0])
         return ZeroPoleGain(z, p, np.real_if_close(k) if not np.iscomplexobj(b)
                             else k, f.domain)
     if isinstance(f, Biquad):
@@ -257,7 +313,23 @@ def as_polynomial_ratio(f):
     if isinstance(f, ZeroPoleGain):
         b = f.k * _poly_from_roots(f.z)
         a = _poly_from_roots(f.p)
-        return PolynomialRatio(np.real(b), np.real(a), f.domain)
+        if f.domain == "z" and len(b) != len(a):
+            # filt arrays are z^-1 coefficients from index 0: a pole
+            # surplus is a pure delay = LEADING zeros on b (reference
+            # keeps this via its Laurent representation; MATLAB zp2sos
+            # likewise emits [0, 0, 1] sections). A zero surplus would
+            # need a[0] == 0 (non-causal) — the PolynomialRatio
+            # constructor rejects it.
+            n = max(len(b), len(a))
+            b = np.concatenate([np.zeros(n - len(b)), b])
+            a = np.concatenate([np.zeros(n - len(a)), a])
+
+        def _realish(c):
+            m = np.abs(c).max() if len(c) else 0.0
+            if np.abs(np.imag(c)).max() <= 1e-10 * max(m, 1e-300):
+                return np.real(c)
+            return c
+        return PolynomialRatio(_realish(b), _realish(a), f.domain)
     if isinstance(f, Biquad):
         return PolynomialRatio([f.b0, f.b1, f.b2], [1.0, f.a1, f.a2], f.domain)
     if isinstance(f, SecondOrderSections):
@@ -361,6 +433,11 @@ def as_sos(f):
     nz, n = len(z), len(p)
     if nz > n:
         raise ValueError("ZeroPoleGain must not have more zeros than poles")
+    if n == 0:
+        # pure gain: one identity section so downstream cascade kernels
+        # always see >= 1 biquad
+        return SecondOrderSections([Biquad(1.0, 0.0, 0.0, 0.0, 0.0,
+                                           zpk.domain)], zpk.k, zpk.domain)
 
     cz, rz = _split_real_complex(z)
     cp, rp = _split_real_complex(p, sortby=lambda x: abs(abs(x) - 1))
