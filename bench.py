@@ -47,7 +47,7 @@ def _chain(fn, args, k):
     return time.perf_counter() - t0
 
 
-def _timeit(fn, *args, reps=3, warmup=1, k=8):
+def _timeit(fn, *args, reps=5, warmup=1, k=8):
     """Per-call device time by two-point chain differencing.
 
     A single tunneled call is dominated by the ~50-70 ms (and jittery)
@@ -59,7 +59,10 @@ def _timeit(fn, *args, reps=3, warmup=1, k=8):
     Each chain length keeps its best-of-reps floor (best-case RTT is
     the same constant for both), which makes the difference robust to
     RTT jitter. `k` scales the long chain; short configs pass a
-    larger k so the differenced span stays well above jitter."""
+    larger k so the differenced span stays well above jitter.
+    reps=5: a single multi-ms tunnel stall spanning all short-chain
+    repetitions once produced a 3.3x-slow reading; more repetitions
+    make the best-of floor robust to one stall window."""
     for _ in range(warmup):
         _sync(fn(*args))
     k1, k2 = 2, max(k, 6)

@@ -101,6 +101,23 @@ class TestKernelsVsNaive:
         got = np.concatenate(parts)
         np.testing.assert_allclose(got, whole, atol=1e-12)
 
+    @pytest.mark.parametrize("ratio", [Fraction(1), Fraction(3),
+                                       Fraction(1, 4), Fraction(3, 2),
+                                       Fraction(147, 160)])
+    def test_sample_by_sample_streaming(self, ratio):
+        """Feed the first 60 inputs ONE SAMPLE AT A TIME, then the rest
+        in one call — the reference's harshest streaming pattern
+        (test/filt_stream.jl:100-111): exercises inputDeficit/history
+        for chunks far smaller than the tap window."""
+        h = sp.firwin(32, 0.25)
+        x = rng.standard_normal(500)
+        whole = np.asarray(polyphase_filt(h, x, ratio))
+        sf = FIRFilter(h, ratio)
+        parts = [np.asarray(sf.filt(x[i:i + 1])) for i in range(60)]
+        parts.append(np.asarray(sf.filt(x[60:])))
+        got = np.concatenate([p for p in parts if p.size])
+        np.testing.assert_allclose(got, whole, atol=1e-12)
+
     def test_arbitrary_vs_naive(self):
         h = sp.firwin(64, 1 / 32 * 0.9)
         x = rng.standard_normal(300)
