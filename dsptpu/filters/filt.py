@@ -246,8 +246,9 @@ def _blockss_apply(ss, x, z0, need_state=True, transposed=False,
         C, n = x.shape
     else:
         n, C = x.shape
-    if reverse and need_state:
-        raise NotImplementedError("reverse pass does not produce state")
+    if reverse and need_state and n % ss.V:
+        raise NotImplementedError(
+            "reverse pass produces state only for V-aligned lengths")
     if not need_state and _pallas_iir_ok(ss, n, dtype):
         from ..kernels.biir import blockss_filt_pallas
         import jax as _jax
@@ -281,14 +282,22 @@ def _blockss_apply(ss, x, z0, need_state=True, transposed=False,
         Zr = _affine_rec(ss.AV, U[:, ::-1], z0)          # (C, B, p)
         Zstart = jnp.concatenate([z0.T[:, None, :], Zr[:, :-1]],
                                  axis=1)[:, ::-1]
+        Y = Ylocal.reshape(C, B, V) + jnp.einsum(
+            "cbp,vp->cbv", Zstart, jnp.asarray(Gh).astype(dtype),
+            precision=prec)
+        y = Y.reshape(C, B * V)[:, npad:]
+        if not transposed:
+            y = y.T
+        if not need_state:
+            return y, None
+        return y, Zr[:, -1].T                # state entering sample 0
     else:
         Z = _affine_rec(ss.AV, U, z0)                    # (C, B, p)
         Zstart = jnp.concatenate([z0.T[:, None, :], Z[:, :-1]], axis=1)
     Y = Ylocal.reshape(C, B, V) + jnp.einsum(
         "cbp,vp->cbv", Zstart, jnp.asarray(Gh).astype(dtype),
         precision=prec)
-    y = Y.reshape(C, B * V)[:, npad:] if reverse else \
-        Y.reshape(C, B * V)[:, :n]
+    y = Y.reshape(C, B * V)[:, :n]
     if not transposed:
         y = y.T
     if not need_state:

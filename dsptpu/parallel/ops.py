@@ -29,6 +29,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 __all__ = ["shard_fir", "shard_fftfilt", "shard_welch", "shard_sosfilt",
+           "shard_filtfilt",
            "shard_stft_pow", "shard_spectrogram", "shard_mt_spectrogram",
            "shard_resample", "compact_shards"]
 
@@ -186,6 +187,174 @@ def _shard_affine_prefix(T_np, v, axis_name, nsh):
     return jnp.where(idx == 0, jnp.zeros_like(zin), zin)
 
 
+def _shard_affine_suffix(T_np, v, axis_name, nsh):
+    """Exclusive affine suffix over a mesh axis: shard k receives
+    zin_k = sum_{j>k} T^{j-1-k} v_j (zin_{nsh-1} = 0) — the mirror of
+    _shard_affine_prefix for right-to-left (anti-causal) chains."""
+    dtype = v.dtype
+    idx = lax.axis_index(axis_name)
+    A = jnp.broadcast_to(jnp.asarray(T_np).astype(dtype), T_np.shape)
+    b = v
+    d = 1
+    while d < nsh:
+        perm = [(i, (i - d) % nsh) for i in range(nsh)]
+        A_in = lax.ppermute(A, axis_name, perm)
+        b_in = lax.ppermute(b, axis_name, perm)
+        have = idx < nsh - d
+        # S_k^{(2d)} = S_k^{(d)} + T^d S_{k+d}^{(d)}
+        A_new = jnp.einsum("ab,bc->ac", A, A_in)
+        b_new = b + jnp.einsum("ab,bc->ac", A, b_in)
+        A = jnp.where(have, A_new, A)
+        b = jnp.where(have, b_new, b)
+        d *= 2
+    perm = [(i, (i - 1) % nsh) for i in range(nsh)]
+    zin = lax.ppermute(b, axis_name, perm)
+    return jnp.where(idx == nsh - 1, jnp.zeros_like(zin), zin)
+
+
+def _zero_input_response(ss, zin, n_local, dtype):
+    """y[t] = w' A^t zin for t in [0, n_local): block-start states are
+    AV^b zin (affine recurrence with zero input) plus one
+    state-to-output matmul per block. zin: (p, C); returns
+    (n_local, C)."""
+    from ..filters.filt import _affine_rec
+    V, p = ss.V, ss.p
+    C = zin.shape[1]
+    B = -(-n_local // V)
+    Zstart = _affine_rec(ss.AV, jnp.zeros((C, B, p), dtype), zin)
+    # _affine_rec returns states AFTER each step with z_{-1} = zin:
+    # with zero input, state after block b is AV^{b+1} zin; we need
+    # the state ENTERING block b, i.e. AV^b zin
+    Zstart = jnp.concatenate([zin.T[:, None, :], Zstart[:, :-1]], axis=1)
+    Ycorr = jnp.einsum("cbp,vp->cbv", Zstart,
+                       jnp.asarray(ss.G).astype(dtype),
+                       precision=lax.Precision.HIGHEST)
+    return Ycorr.reshape(C, B * V)[:, :n_local].T
+
+
+def shard_filtfilt(sos, g, x, mesh, time_axis="time", channel_axis=None):
+    """Zero-phase (forward + anti-causal) SOS filtering across time
+    shards — the distributed form of filters.filtfilt (reference
+    Filters/filt.jl:245-360, SOS path :341-360), with the same
+    odd-symmetric edge extrapolation and steady-state initial
+    conditions.
+
+    Structure: each shard runs BOTH block state-space passes locally
+    from zero state; the (2*nsec, C) boundary states chain across
+    shards with a log-depth ppermute prefix (forward) and suffix
+    (anti-causal), and the tiny edge-extension transients (pad =
+    6*nsec samples) are folded in closed form into the first/last
+    shard's entering states via host tables. No data flips and no
+    resharding: the anti-causal pass uses the time-mirrored tables
+    (filters.filt._blockss_apply reverse=True).
+
+    Requires n divisible by the time shards and the per-shard length
+    divisible by 128 (the block size)."""
+    from ..filters.filt import (_blockss, _stack_cascade, _blockss_apply,
+                                filt_stepstate_sos)
+    sos = np.asarray(sos, dtype=np.float64).reshape(-1, 5)
+    x = jnp.asarray(x)
+    nsec = sos.shape[0]
+    p = 2 * nsec
+    cspec = () if (x.ndim == 1 or channel_axis is None) else (channel_axis,)
+    spec = P(time_axis, *cspec)
+
+    nsh = int(np.prod([d for ax, d in zip(mesh.axis_names,
+                                          mesh.devices.shape)
+                       if ax == time_axis]))
+    n = x.shape[0]
+    if n % nsh:
+        raise ValueError("signal length must divide the time shards")
+    nlocal = n // nsh
+    if nlocal % 128:
+        raise ValueError("per-shard length must be a multiple of 128")
+    pad = min(6 * nsec, n - 1)
+    if pad + 2 > nlocal:
+        raise ValueError("per-shard length must exceed the edge pad")
+
+    ss = _blockss(*_stack_cascade(sos, float(g)))
+    A = ss.A
+    T_np = np.linalg.matrix_power(A, nlocal)
+    # A^{k*nlocal} for k = 0..nsh-1 (propagates the edge-transient
+    # entering states to every shard)
+    Apow = np.empty((nsh, p, p))
+    Apow[0] = np.eye(p)
+    for k in range(1, nsh):
+        Apow[k] = T_np @ Apow[k - 1]
+    # tiny edge tables over the pad window (ss.powers has A^0..A^V)
+    powers = ss.powers
+    Apad = powers[pad]
+    Kf = np.stack([powers[pad - 1 - j] @ ss.c
+                   for j in range(pad)], axis=1)          # (p, pad)
+    Kr = np.stack([powers[j] @ ss.c for j in range(pad)], axis=1)
+    h = np.empty(pad)
+    h[0] = float(ss.F[0, 0])                              # = d
+    if pad > 1:
+        h[1:] = (powers[: pad - 1] @ ss.c) @ _w_of(ss)
+    i_, j_ = np.ogrid[:pad, :pad]
+    Fpad = np.where(i_ >= j_, h[np.clip(i_ - j_, 0, pad - 1)], 0.0)
+    Gpad = powers[:pad].transpose(0, 2, 1) @ _w_of(ss)    # (pad, p)
+    zstack = np.swapaxes(filt_stepstate_sos(sos), 0, 1).reshape(p)
+
+    @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    def run(xs):
+        flat = xs.reshape(xs.shape[0], -1)
+        dtype = jnp.result_type(flat.dtype, jnp.float32)
+        flat = flat.astype(dtype)
+        C = flat.shape[1]
+        idx = lax.axis_index(time_axis)
+        zst = jnp.asarray(zstack, dtype)[:, None]         # (p, 1)
+        prec = lax.Precision.HIGHEST
+
+        # ---- forward pass ----
+        z0 = jnp.zeros((p, C), dtype)
+        y0, v = _blockss_apply(ss, flat, z0, need_state=True)
+        # shard-0 front extension: ext = 2*x0 - x[pad:0:-1]; entering
+        # state after filtering it from the steady-state init
+        front = 2 * flat[:1] - flat[pad:0:-1]             # (pad, C)
+        z_init = zst * front[0][None, :]
+        z_e = (jnp.asarray(Apad).astype(dtype) @ z_init
+               + jnp.einsum("pj,jc->pc", jnp.asarray(Kf).astype(dtype),
+                            front, precision=prec))
+        z_e = lax.psum(jnp.where(idx == 0, z_e, 0.0), time_axis)
+        zin = _shard_affine_prefix(T_np, v, time_axis, nsh)
+        zin = zin + jnp.einsum(
+            "ab,bc->ac", jnp.asarray(Apow).astype(dtype)[idx], z_e,
+            precision=prec)
+        y1 = y0 + _zero_input_response(ss, zin, nlocal, dtype)
+
+        # ---- back extension (forward through it, then reversed) ----
+        exit_s = (jnp.asarray(T_np).astype(dtype) @ zin + v)
+        back = 2 * flat[-1:] - flat[-2: -pad - 2: -1]     # (pad, C)
+        y1b = (jnp.einsum("ij,jc->ic", jnp.asarray(Fpad).astype(dtype),
+                          back, precision=prec)
+               + jnp.einsum("ip,pc->ic", jnp.asarray(Gpad).astype(dtype),
+                            exit_s, precision=prec))
+        z_r0 = zst * y1b[-1][None, :]
+        z_re = (jnp.asarray(Apad).astype(dtype) @ z_r0
+                + jnp.einsum("pj,jc->pc", jnp.asarray(Kr).astype(dtype),
+                             y1b, precision=prec))
+        z_re = lax.psum(jnp.where(idx == nsh - 1, z_re, 0.0), time_axis)
+
+        # ---- anti-causal pass ----
+        yr, w = _blockss_apply(ss, y1, z0, need_state=True, reverse=True)
+        zrin = _shard_affine_suffix(T_np, w, time_axis, nsh)
+        zrin = zrin + jnp.einsum(
+            "ab,bc->ac", jnp.asarray(Apow).astype(dtype)[nsh - 1 - idx],
+            z_re, precision=prec)
+        # reverse zero-input response == time-flipped forward response
+        corr = _zero_input_response(ss, zrin, nlocal, dtype)[::-1]
+        y2 = yr + corr
+        return y2.reshape(xs.shape)
+
+    return run(x)
+
+
+def _w_of(ss):
+    """Recover the output map w from the block tables: G[0] = (A^0)'w."""
+    return ss.G[0]
+
+
 def shard_sosfilt(sos, g, x, mesh, time_axis="time", channel_axis=None):
     """Time-sharded biquad cascade via the stacked block state-space
     pass (filters.filt._blockss_apply): each shard filters its block
@@ -225,21 +394,7 @@ def shard_sosfilt(sos, g, x, mesh, time_axis="time", channel_axis=None):
         if nsh == 1:
             return y0.reshape(xs.shape)
         zin = _shard_affine_prefix(T_np, v, time_axis, nsh)   # (p, C)
-        # zero-input response to the entering state: block-start states
-        # are AV^b zin (an affine recurrence with zero input), then one
-        # state-to-output matmul per block
-        V = ss.V
-        B = -(-n_local // V)
-        Zstart = _affine_rec(ss.AV, jnp.zeros((C, B, p), dtype), zin)
-        # _affine_rec returns states AFTER each step with z_{-1} = zin:
-        # with zero input, state after block b is AV^{b+1} zin; we need
-        # the state ENTERING block b, i.e. AV^b zin
-        Zstart = jnp.concatenate([zin.T[:, None, :], Zstart[:, :-1]],
-                                 axis=1)                  # (C, B, p)
-        Ycorr = jnp.einsum("cbp,vp->cbv", Zstart,
-                           jnp.asarray(ss.G).astype(dtype),
-                           precision=lax.Precision.HIGHEST)
-        ycorr = Ycorr.reshape(C, B * V)[:, :n_local].T
+        ycorr = _zero_input_response(ss, zin, n_local, dtype)
         return (y0 + ycorr).reshape(xs.shape)
 
     return run(x)

@@ -5,6 +5,7 @@ analogue — SURVEY.md §2.10)."""
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 from scipy import signal as sp
 
 from dsptpu.parallel import make_mesh, shard_fir, shard_fftfilt, shard_welch, \
@@ -88,6 +89,33 @@ class TestShardSOS:
                                        channel_axis="channel"))
         want = sp.sosfilt(sos_sp, x, axis=0)
         np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+class TestShardFiltfilt:
+    def test_matches_filtfilt(self, mesh):
+        from dsptpu.parallel import shard_filtfilt
+        from dsptpu.filters import (Butterworth, Lowpass, digitalfilter,
+                                    filtfilt, as_sos)
+        from dsptpu.filters.filt import _sos_arrays
+        f = digitalfilter(Lowpass(0.2), Butterworth(8))
+        sos, g = _sos_arrays(as_sos(f))
+        x = rng.standard_normal(8 * 512)
+        got = np.asarray(shard_filtfilt(sos, g, x, mesh))
+        want = np.asarray(filtfilt(f, x=jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+    def test_multichannel(self, mesh2d):
+        from dsptpu.parallel import shard_filtfilt
+        from dsptpu.filters import (Butterworth, Bandpass, digitalfilter,
+                                    filtfilt, as_sos)
+        from dsptpu.filters.filt import _sos_arrays
+        f = digitalfilter(Bandpass(0.15, 0.4), Butterworth(3))
+        sos, g = _sos_arrays(as_sos(f))
+        x = rng.standard_normal((4 * 512, 4))
+        got = np.asarray(shard_filtfilt(sos, g, x, mesh2d,
+                                        channel_axis="channel"))
+        want = np.asarray(filtfilt(f, x=jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-10)
 
 
 class TestShardSpectrogram:
