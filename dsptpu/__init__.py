@@ -31,6 +31,7 @@ from .ops.periodograms import (arraysplit, periodogram, welch_pgram,
                                spectrogram, stft, WelchConfig, Periodogram,
                                Periodogram2, Spectrogram, power, freq,
                                tfr_time, fftshift_tfr)
+time = tfr_time      # reference accessor name (Base.time(::Spectrogram))
 from .ops.multitaper import (MTConfig, MTSpectrogramConfig,
                              MTCrossSpectraConfig, MTCoherenceConfig,
                              dpss_config, allocate_output,
