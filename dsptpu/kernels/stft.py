@@ -74,7 +74,7 @@ def _tables(nfft, N1, win):
             w2.real.astype(f32), w2.imag.astype(f32), wp.astype(f32))
 
 
-def _kernel(q_hbm, w2re, w2im, wp, o_ref, scratch, sem, *,
+def _kernel(q_hbm, w2re, wp, o_ref, scratch, sem, *,
             w1re, w1im, TB, N1, rows, hr, nrq, pad, nblocks, prec,
             accum, valid_last):
     """Grid (C*nblocks,) linearized; step i handles (c, b) =
@@ -169,8 +169,12 @@ def _kernel(q_hbm, w2re, w2im, wp, o_ref, scratch, sem, *,
             cache[k1] = (bre, bim)
         else:
             bre, bim = cache[N1 - k1]
-        dre = dot(bre, w2re[k1]) - dot(bim, w2im[k1])
-        dim = dot(bre, w2im[k1]) + dot(bim, w2re[k1])
+        # paired RHS [Mre | Mim] (128, 256): TWO N=256 matmuls instead
+        # of four N=128 — halves MXU weight loads for the same FLOPs
+        P1 = dot(bre, w2re[k1])                     # (TB, 256)
+        P2 = dot(bim, w2re[k1])
+        dre = P1[:, :128] - P2[:, 128:]
+        dim = P1[:, 128:] + P2[:, :128]
         pw = dre * dre + dim * dim                  # (TB, 128)
         if accum:
             row = jnp.sum(pw, axis=0, keepdims=True)    # (1, 128)
@@ -245,14 +249,13 @@ def _stft_pow_jit(x, wp, nfft, hop, nframes, accumulate,
     # twiddle tile ops (the kernel is VMEM-BW-bound on tile ops)
     tw = twre + 1j * twim
     w2 = w2re + 1j * w2im
-    m2re = np.empty((rows, 128, 128), np.float32)
-    m2im = np.empty((rows, 128, 128), np.float32)
+    m2 = np.empty((rows, 128, 256), np.float32)
     for k1 in range(rows):
         M = tw[k1][:, None] * w2
-        m2re[k1] = M.real.astype(np.float32)
         s = -1.0 if k1 > N1 // 2 else 1.0
-        m2im[k1] = (s * M.imag).astype(np.float32)
-    tab = [jnp.asarray(m2re), jnp.asarray(m2im), wp]
+        m2[k1, :, :128] = M.real.astype(np.float32)
+        m2[k1, :, 128:] = (s * M.imag).astype(np.float32)
+    tab = [jnp.asarray(m2), wp]
     if accumulate:
         out_shape = (C, 1, rows, 128)
         out_specs = pl.BlockSpec((1, 1, rows, 128),
@@ -274,9 +277,7 @@ def _stft_pow_jit(x, wp, nfft, hop, nframes, accumulate,
         grid=(C * nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((rows, 128, 128), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 128, 128), lambda i: (0, 0, 0),
+            pl.BlockSpec((rows, 128, 256), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N1, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
