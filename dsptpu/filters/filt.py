@@ -710,5 +710,5 @@ def fftfilt(b, x, nfft=None):
     every channel."""
     b = _as_1d(jnp.asarray(b), "b")
     x = jnp.asarray(x)
-    y = dspbase._conv_os_1d(x, b, nfft=nfft)
+    y = dspbase._conv_os_1d(x, b, nfft=nfft, out_len=x.shape[0])
     return y[: x.shape[0]]

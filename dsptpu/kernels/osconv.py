@@ -17,16 +17,20 @@ so each input sample crosses HBM ~1.2x and each output sample once.
 Semantics match reference dspbase.jl:371-609 (overlap-save blocks with
 per-block save region), restricted to 1-D real f32 signals x channels.
 
-Geometry. nfft = N1*128 (N1 <= 128), block advance L = hr*128,
-save S = nfft - L = srow*128 >= nv - 1. The signal (front-padded with
-S zeros) viewed as (rows, 128) lane-major puts frame f at rows
-[f*hr, f*hr + N1) — consecutive frames f=2p, 2p+1 form complex frame
-z = x_a + i*x_b (conv with a real filter is complex-linear, so
-ifft(fft(z)*H) separates exactly as y_a + i*y_b). A grid step handles
-Q pairs = rows [p*A, p*A + A), A = 2*hr*Q, delivered by TWO BlockSpec
-views of the same array at block indices p and p+1: frames that cross
-the block edge split their stage-1 contraction into two partial
-matmuls (no concatenation — Mosaic rejects sublane-shifted concats).
+Geometry (v2 — zero-copy). nfft = N1*128 (N1 <= 128), block advance
+L = hr*128, save S = nfft - L = srow*128 >= nv - 1. The signal is
+consumed UNPADDED as (C, n/128, 128) rows: frame f covers rows
+[f*hr - srow, f*hr - srow + N1), delivered by TWO BlockSpec views of
+the same array at block indices p and max(p-1, 0) — the save-region
+history rows come from the PREVIOUS block's tail (masked to the
+zero-history at p == 0), and rows at/after the signal end are masked
+to zero in-kernel so the ragged grid tail and the linear-convolution
+tail read zeros, not garbage (out-of-bounds writes are dropped by
+Pallas). The v1 front-padded wrapper spent ~4 ms per bench call in the
+pad and output-slice relayouts this geometry deletes (every XLA
+relayout of a 640 MB channel batch costs ~2 ms on v5e). Callers that
+only need the first `nout` outputs (fftfilt trims the conv tail) pass
+it through so the output array is sized exactly.
 
 Four-step tables are the mxfft convention (j = j1*128 + j2, bin
 k = k1 + N1*k2): w1[k1,j1] = e^{-2i pi k1 j1/N1} (symmetric),
@@ -64,9 +68,8 @@ def osconv_supported(nfft, nv, dtype):
     if nfft % 128 or not (2 <= nfft // 128 <= 128):
         return False
     L = ((nfft - nv + 1) // 128) * 128
-    # a frame may cross at most one grid-block boundary (stage-1
-    # contraction splits into two partial matmuls): N1 - hr rows of
-    # overshoot must fit in the next A = 2*hr*Q rows (Q = 4)
+    # the save region (frame history, srow = N1 - hr rows) must fit in
+    # the previous grid block: srow <= A = 2*hr*Q rows (Q = 4)
     return L >= 128 and (nfft // 128) <= 9 * (L // 128)
 
 
@@ -80,8 +83,9 @@ def _tables(nfft):
     return w1, tw, w2
 
 
-def _kernel(x1, x2, w1re, w1im, twre, twim, w2re, w2im, hre, him,
-            iw1re, iw1im, o_ref, *, N1, hr, srow, Q, A, prec):
+def _kernel(x1, x0, w1re, w1im, twre, twim, w2re, w2im, hre, him,
+            iw1re, iw1im, o_ref, *, N1, hr, srow, Q, A, nrows, prec):
+    b = pl.program_id(1)
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=prec)
     twr = twre[:]
@@ -94,19 +98,25 @@ def _kernel(x1, x2, w1re, w1im, twre, twim, w2re, w2im, hre, him,
     w1i = w1im[:]
     i1r = iw1re[:]
     i1i = iw1im[:]
+    # zero rows at/after the signal end (ragged grid tail and the
+    # linear-convolution tail read zeros, never OOB garbage); x0's
+    # block is max(b-1, 0), masked entirely at b == 0 (zero history)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (A, 1), 0)
+    v1 = jnp.where(rows_i + b * A < nrows, x1[0], 0.0)
+    v0 = jnp.where((rows_i + (b - 1) * A < nrows) & (b > 0), x0[0], 0.0)
     for q in range(Q):
-        fa = q * 2 * hr
+        fa = q * 2 * hr - srow
         fb = fa + hr
 
         def stage1(w, off):
-            """(w @ rows[off:off+N1]) with the row range split across
-            the two input blocks when it crosses the A-row edge."""
-            n1 = max(0, min(N1, A - off))
+            """(w @ rows[off:off+N1]); the leading history rows
+            (off < 0) come from the previous block's tail."""
+            k = max(0, -off)
             acc = None
-            if n1 > 0:
-                acc = dot(w[:, :n1], x1[0, off:off + n1, :])
-            if n1 < N1:
-                part = dot(w[:, n1:], x2[0, :N1 - n1, :])
+            if k > 0:
+                acc = dot(w[:, :k], v0[A - k:A, :])
+            if k < N1:
+                part = dot(w[:, k:], v1[off + k: off + N1, :])
                 acc = part if acc is None else acc + part
             return acc
 
@@ -132,31 +142,30 @@ def _kernel(x1, x2, w1re, w1im, twre, twim, w2re, w2im, hre, him,
         # pre-sliced to [srow, N1) -> (hr, N1) @ (N1, 128)
         ore = dot(i1r, ere) - dot(i1i, eim)
         oim = dot(i1r, eim) + dot(i1i, ere)
-        o_ref[0, fa:fa + hr, :] = ore
-        o_ref[0, fb:fb + hr, :] = oim
+        oa = q * 2 * hr
+        o_ref[0, oa:oa + hr, :] = ore
+        o_ref[0, oa + hr:oa + 2 * hr, :] = oim
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nfft", "nout", "Q", "interpret"))
-def _osconv_jit(u, vp, nfft, nout, Q, interpret):
-    """u: (n, C) real f32; vp: (nfft,) f32 zero-padded filter.
-    Returns (nout, C) f32."""
+                   static_argnames=("nfft", "nv", "nout", "Q",
+                                    "interpret"))
+def _osconv_jit(u, vp, nfft, nv, nout, Q, interpret):
+    """u: (n, C) real f32 with n % 128 == 0; vp: (nfft,) f32
+    zero-padded filter. Returns (nout, C) f32, the first nout samples
+    of the linear convolution."""
     n, C = u.shape
     N1 = nfft // 128
     # the advance is the largest lane-aligned L whose save region
-    # still covers the filter history (nv - 1 = nout - n)
-    nv_ = nout - n + 1
-    L = ((nfft - nv_ + 1) // 128) * 128
+    # still covers the filter history
+    L = ((nfft - nv + 1) // 128) * 128
     hr = L // 128
     srow = N1 - hr
-    K = -(-nout // L)
-    P = -(-K // 2)
-    steps = -(-P // Q)
+    K = -(-nout // L)                    # frames needed
+    steps = -(-(-(-K // 2)) // Q)        # Q complex pairs per step
     A = 2 * hr * Q
-    R = steps * A + A                               # + ref2 overshoot
-    xt = u.T                                        # (C, n)
-    xt = jnp.pad(xt, ((0, 0), (srow * 128, R * 128 - n - srow * 128)))
-    xr = xt.reshape(C, R, 128)
+    nrows = n // 128
+    xr = u.T.reshape(C, nrows, 128)
 
     w1, tw, w2 = _tables(nfft)
     f32 = np.float32
@@ -179,17 +188,19 @@ def _osconv_jit(u, vp, nfft, nout, Q, interpret):
     itabs = [jnp.asarray(iw1.real.astype(f32)),
              jnp.asarray(iw1.imag.astype(f32))]
 
+    RO = -(-nout // 128)
     const = lambda shape: pl.BlockSpec(shape, lambda c, p: (0, 0),
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, N1=N1, hr=hr, srow=srow, Q=Q, A=A,
-                          prec=jax.lax.Precision.HIGHEST),
-        out_shape=jax.ShapeDtypeStruct((C, steps * A, 128), jnp.float32),
+                          nrows=nrows, prec=jax.lax.Precision.HIGHEST),
+        out_shape=jax.ShapeDtypeStruct((C, RO, 128), jnp.float32),
         grid=(C, steps),
         in_specs=[
             pl.BlockSpec((1, A, 128), lambda c, p: (c, p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, 128), lambda c, p: (c, p + 1, 0),
+            pl.BlockSpec((1, A, 128),
+                         lambda c, p: (c, jnp.maximum(p - 1, 0), 0),
                          memory_space=pltpu.VMEM),
             const((N1, N1)), const((N1, N1)),
             const((N1, 128)), const((N1, 128)),
@@ -201,21 +212,28 @@ def _osconv_jit(u, vp, nfft, nout, Q, interpret):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xr, xr, *tabs, *htabs, *itabs)
-    y = out.reshape(C, steps * A * 128)[:, :nout]
+    y = out.reshape(C, RO * 128)[:, :nout]
     return y.T
 
 
-def osconv_pallas(u, v, nfft, interpret=False, Q=4):
+def osconv_pallas(u, v, nfft, interpret=False, Q=4, out_len=None):
     """Fused overlap-save convolution: u (n,) or (n, C) real f32 long
-    input, v (nv,) real f32 filter. Returns the full linear
-    convolution (n + nv - 1, C) (or 1-D). Caller checks
+    input, v (nv,) real f32 filter. Returns the first
+    out_len (default n + nv - 1, the full linear convolution) samples,
+    (out_len, C) (or 1-D). Caller checks
     osconv_supported(nfft, len(v), f32)."""
     u = jnp.asarray(u)
     v = jnp.asarray(v)
     vec = u.ndim == 1
     u2 = u[:, None] if vec else u
-    nout = u2.shape[0] + v.shape[0] - 1
-    vp = jnp.pad(v.astype(jnp.float32), (0, nfft - v.shape[0]))
-    y = _osconv_jit(u2, vp, int(nfft), int(nout), int(Q),
-                    bool(interpret))
+    n = u2.shape[0]
+    nv = int(v.shape[0])
+    nout = n + nv - 1 if out_len is None else min(int(out_len),
+                                                  n + nv - 1)
+    if n % 128:
+        # appended zeros are exact (they are the conv's own zero tail)
+        u2 = jnp.pad(u2, ((0, 128 - n % 128), (0, 0)))
+    vp = jnp.pad(v.astype(jnp.float32), (0, nfft - nv))
+    y = _osconv_jit(u2.astype(jnp.float32), vp, int(nfft), nv,
+                    int(nout), int(Q), bool(interpret))
     return y[:, 0] if vec else y

@@ -170,7 +170,7 @@ def filt(b, a, x=None, si=None):
             cplx = jnp.iscomplexobj(flat) or jnp.iscomplexobj(b)
             if inexact and nb > _FIR_OS_CUTOFF and n > nb:
                 # long taps: batched overlap-save FFTs
-                return restore(_conv_os_1d(flat, b)[:n])
+                return restore(_conv_os_1d(flat, b, out_len=n)[:n])
             if inexact and not cplx and 1 < nb and n >= 4 * nb:
                 # short/medium taps: fused Pallas row-shift FIR when
                 # available (measured 5.1x the block-Toeplitz matmul at
@@ -341,16 +341,20 @@ def _os_frames(up, K, L, W):
     return jnp.concatenate(parts, axis=-1)[..., :W]
 
 
-def _conv_os_1d(u, v, nfft=None):
+def _conv_os_1d(u, v, nfft=None, out_len=None):
     """Batched overlap-save convolution along axis 0; u is the long
     input (n, *chans), v the 1-D filter. TPU-first replacement for the
     reference's sequential per-block loop (dspbase.jl:490-609): one
     batched rFFT covers every block of every channel, channels ride as
     leading batch dims so the FFT runs on the innermost axis, and
-    frames come from strided reshapes instead of gathers."""
+    frames come from strided reshapes instead of gathers. out_len
+    (default full linear convolution) truncates the output — callers
+    that discard the conv tail (fftfilt) pass it through so the fused
+    kernel sizes its output exactly (an XLA slice of a 640 MB channel
+    batch costs ~2 ms on v5e)."""
     from ..utils.fftutil import fftintype
     nu, nv = u.shape[0], v.shape[0]
-    nout = nu + nv - 1
+    nout = nu + nv - 1 if out_len is None else min(out_len, nu + nv - 1)
     dtype = fftintype(jnp.result_type(u.dtype, v.dtype))
     cplx = jnp.issubdtype(dtype, jnp.complexfloating)
     if nfft is None:
@@ -363,7 +367,7 @@ def _conv_os_1d(u, v, nfft=None):
         if use_k and osconv_supported(nfft, nv, dtype):
             u2 = u.astype(dtype).reshape(nu, -1)
             y = osconv_pallas(u2, v.astype(dtype), nfft,
-                              interpret=interp)
+                              interpret=interp, out_len=nout)
             return y.reshape((nout,) + u.shape[1:])
     L = nfft - nv + 1
     # lane-align the block advance: a misaligned L makes every framing

@@ -50,7 +50,7 @@ def _fir_local(b, xcat):
     nb = b.shape[0]
     flat = xcat.reshape(xcat.shape[0], -1)
     if nb > _FIR_OS_CUTOFF:
-        y = _conv_os_1d(flat, b)[: flat.shape[0]]
+        y = _conv_os_1d(flat, b, out_len=flat.shape[0])[: flat.shape[0]]
     else:
         y = _fir_causal(b, flat)
     return y[nb - 1:].reshape((xcat.shape[0] - nb + 1,) + xcat.shape[1:])
