@@ -690,10 +690,13 @@ class FIRFilter:
                         and not jnp.iscomplexobj(x) \
                         and not jnp.iscomplexobj(Gd):
                     from ..kernels.pfb import pfb_block_filt_pallas
+                    from ..ops.dspbase import _pallas_os_state
                     xcat = jnp.concatenate([self.history, x], axis=0) \
                         if self.history_len else x
+                    _, interp = _pallas_os_state()
                     y = pfb_block_filt_pallas(xcat, Gd, s0=s0, B=B, M=M,
-                                              W=W)[:out_len]
+                                              W=W,
+                                              interpret=interp)[:out_len]
                 elif self.history_len:
                     y, newhist = _block_filt_step(self.history, x, Gd,
                                                   s0, B, M, W, out_len)
