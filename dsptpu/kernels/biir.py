@@ -168,7 +168,12 @@ def _dev_tables(ss, TB, reverse=False):
     across jit scopes. reverse=True yields the time-mirrored tables of
     the anti-causal pass (F -> F', K columns / G rows flipped; AV and
     its powers are direction-independent)."""
-    key = (id(ss), TB, reverse)
+    # Content-keyed: id(ss) can be reused after the owning _BlockSS is
+    # evicted from filters.filt's cache and GC'd, silently serving a
+    # previous filter's tables.  The four arrays fully determine the
+    # output tables.
+    key = (ss.F.tobytes(), ss.K.tobytes(), ss.G.tobytes(),
+           ss.AV.tobytes(), TB, reverse)
     hit = _tab_cache.get(key)
     if hit is None:
         nsteps = max((TB - 1).bit_length(), 1)

@@ -548,9 +548,24 @@ def _conv_direct(u, v, outsize):
         lhs = u.astype(acc)[None, None]
         rhs = jnp.flip(v.astype(acc))[None, None]
         pad = [(sv - 1, sv - 1) for sv in v.shape]
-        out = lax.conv_general_dilated(lhs, rhs, window_strides=(1,) * nd,
-                                       padding=pad,
-                                       preferred_element_type=acc)[0, 0]
+
+        def _int_conv(lhs, rhs):
+            return lax.conv_general_dilated(
+                lhs, rhs, window_strides=(1,) * nd, padding=pad,
+                preferred_element_type=acc)[0, 0]
+
+        import jax
+        traced = isinstance(u, jax.core.Tracer)
+        if not traced and jax.default_backend() != "cpu":
+            # Integer conv lowering is unverified on accelerator
+            # backends; exactness matters more than speed on this rare
+            # path, so route it through the CPU backend eagerly.
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                out = jax.jit(_int_conv)(np.asarray(lhs), np.asarray(rhs))
+            out = jnp.asarray(np.asarray(out))
+        else:
+            out = _int_conv(lhs, rhs)
         return out.astype(dtype)
     nd = u.ndim
     lhs = u.astype(dtype)[None, None]

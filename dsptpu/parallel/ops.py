@@ -34,6 +34,20 @@ __all__ = ["shard_fir", "shard_fftfilt", "shard_welch", "shard_sosfilt",
            "shard_resample", "compact_shards"]
 
 
+def _ntime(mesh, time_axis):
+    return int(np.prod([d for ax, d in zip(mesh.axis_names,
+                                           mesh.devices.shape)
+                        if ax == time_axis]))
+
+
+def _pad_time(x, total):
+    """Zero-pad axis 0 to `total` rows (host-static total)."""
+    if x.shape[0] == total:
+        return x
+    return jnp.pad(x, [(0, total - x.shape[0])]
+                   + [(0, 0)] * (x.ndim - 1))
+
+
 def _right_shift_halo(x_tail, axis_name):
     """Send each shard's tail to its right neighbor; shard 0 receives
     zeros (causal start)."""
@@ -58,11 +72,19 @@ def _fir_local(b, xcat):
 
 def shard_fir(b, x, mesh, time_axis="time", channel_axis=None):
     """Causal FIR filt along axis 0, time-sharded with halo exchange.
-    len(x) must divide evenly over the 'time' mesh axis and each local
-    block must be >= nb-1 samples."""
+    Arbitrary lengths: the signal is zero-padded to split evenly over
+    the 'time' mesh axis and the padded tail is sliced off (causal
+    filter, so padding never affects earlier outputs)."""
     b = jnp.asarray(b)
     x = jnp.asarray(x)
     nb = b.shape[0]
+    n_orig = x.shape[0]
+    ntime = _ntime(mesh, time_axis)
+    nlocal = -(-n_orig // ntime)
+    if nb - 1 > nlocal:
+        raise ValueError(f"filter history ({nb - 1}) exceeds the "
+                         f"per-shard length ({nlocal})")
+    x = _pad_time(x, nlocal * ntime)
     spec = (P(time_axis) if x.ndim == 1 or channel_axis is None
             else P(time_axis, channel_axis))
 
@@ -71,7 +93,8 @@ def shard_fir(b, x, mesh, time_axis="time", channel_axis=None):
         halo = _right_shift_halo(xs[-(nb - 1):], time_axis)
         return _fir_local(b, jnp.concatenate([halo, xs], axis=0))
 
-    return run(b, x)
+    y = run(b, x)
+    return y if y.shape[0] == n_orig else y[:n_orig]
 
 
 # shard_fftfilt shares the halo-exchange structure; the local compute
@@ -87,19 +110,19 @@ def shard_welch(x, n, noverlap, window, mesh, time_axis="time",
 
     Each time shard computes the PSDs of the segments that *start*
     inside it (pulling n-hop cross-boundary samples from its right
-    neighbor), then psums the per-shard sums. The local shard length
-    must be a multiple of hop = n - noverlap. Returns (psd, freqs)
+    neighbor), then psums the per-shard sums. Arbitrary lengths: the
+    signal is zero-padded so the per-shard length is a hop multiple;
+    segments reaching past the true signal end are masked out of the
+    sum (valid-count normalization unchanged). Returns (psd, freqs)
     with psd replicated across the mesh.
     """
     x = jnp.asarray(x)
     win = jnp.asarray(window)
     hop = n - noverlap
-    ntime = int(np.prod([d for ax, d in zip(mesh.axis_names, mesh.devices.shape)
-                         if ax == time_axis]))
-    nlocal = x.shape[0] // ntime
-    if x.shape[0] % ntime or nlocal % hop:
-        raise ValueError("signal length must split into time shards that "
-                         "are a multiple of hop = n - noverlap")
+    ntime = _ntime(mesh, time_axis)
+    n_orig = x.shape[0]
+    nlocal = -(-n_orig // (ntime * hop)) * hop
+    x = _pad_time(x, nlocal * ntime)
     if noverlap > nlocal:
         raise ValueError("noverlap (the cross-shard halo) must not exceed "
                          "the local shard length")
@@ -130,7 +153,7 @@ def shard_welch(x, n, noverlap, window, mesh, time_axis="time",
         starts = jnp.arange(nseg) * hop
         shard_idx = lax.axis_index(time_axis)
         gstart = shard_idx * nlocal + starts
-        valid = (gstart + n <= x.shape[0]).astype(xcat.dtype)
+        valid = (gstart + n <= n_orig).astype(xcat.dtype)
         # strided-reshape framing (no gather)
         q = -(-n // hop)
         need = (nseg + q) * hop
@@ -248,8 +271,10 @@ def shard_filtfilt(sos, g, x, mesh, time_axis="time", channel_axis=None):
     resharding: the anti-causal pass uses the time-mirrored tables
     (filters.filt._blockss_apply reverse=True).
 
-    Requires n divisible by the time shards and the per-shard length
-    divisible by 128 (the block size)."""
+    Arbitrary lengths: when n doesn't split into 128-multiple shards,
+    the signal is extended in-array with the odd-symmetric back
+    extension plus zeros and the anti-causal initial state is injected
+    at the true extension end (_shard_filtfilt_padded)."""
     from ..filters.filt import (_blockss, _stack_cascade, _blockss_apply,
                                 filt_stepstate_sos)
     sos = np.asarray(sos, dtype=np.float64).reshape(-1, 5)
@@ -259,18 +284,12 @@ def shard_filtfilt(sos, g, x, mesh, time_axis="time", channel_axis=None):
     cspec = () if (x.ndim == 1 or channel_axis is None) else (channel_axis,)
     spec = P(time_axis, *cspec)
 
-    nsh = int(np.prod([d for ax, d in zip(mesh.axis_names,
-                                          mesh.devices.shape)
-                       if ax == time_axis]))
+    nsh = _ntime(mesh, time_axis)
     n = x.shape[0]
-    if n % nsh:
-        raise ValueError("signal length must divide the time shards")
-    nlocal = n // nsh
-    if nlocal % 128:
-        raise ValueError("per-shard length must be a multiple of 128")
     pad = min(6 * nsec, n - 1)
-    if pad + 2 > nlocal:
-        raise ValueError("per-shard length must exceed the edge pad")
+    if n % nsh or (n // nsh) % 128 or pad + 2 > n // nsh:
+        return _shard_filtfilt_padded(sos, g, x, mesh, time_axis, spec, nsh)
+    nlocal = n // nsh
 
     ss = _blockss(*_stack_cascade(sos, float(g)))
     A = ss.A
@@ -350,6 +369,104 @@ def shard_filtfilt(sos, g, x, mesh, time_axis="time", channel_axis=None):
     return run(x)
 
 
+def _shard_filtfilt_padded(sos, g, x, mesh, time_axis, spec, nsh):
+    """shard_filtfilt for lengths that don't split into 128-multiple
+    shards. The signal is extended with the actual odd-symmetric back
+    extension followed by zeros, so the forward pass computes the
+    back-extension response in-array; the anti-causal pass then zeroes
+    the decay tail and injects its initial state zst*y1[n_inj-1] at the
+    true extension end n_inj = n + pad, propagated per shard with host
+    A-power tables (shards past the injection point take a row-shifted
+    zero-input response via a dynamic slice)."""
+    from ..filters.filt import (_blockss, _stack_cascade, _blockss_apply,
+                                filt_stepstate_sos)
+    nsec = sos.shape[0]
+    p = 2 * nsec
+    n_orig = x.shape[0]
+    pad = min(6 * nsec, n_orig - 1)
+    nlocal = max((-(-n_orig // nsh) + 127) // 128 * 128, 128)
+    while nlocal * nsh - n_orig < pad or pad + 2 > nlocal:
+        nlocal += 128
+    N = nlocal * nsh
+    n_inj = n_orig + pad
+
+    # odd-symmetric back extension placed in-array, zeros beyond
+    back = (2 * x[n_orig - 1:n_orig]
+            - jnp.flip(x[n_orig - 1 - pad:n_orig - 1], 0))
+    xe = _pad_time(jnp.concatenate([x, back], axis=0), N)
+
+    ss = _blockss(*_stack_cascade(sos, float(g)))
+    A = ss.A
+    T_np = np.linalg.matrix_power(A, nlocal)
+    Apow = np.empty((nsh, p, p))
+    Apow[0] = np.eye(p)
+    for k in range(1, nsh):
+        Apow[k] = T_np @ Apow[k - 1]
+    powers = ss.powers
+    Apad = powers[pad]
+    Kf = np.stack([powers[pad - 1 - j] @ ss.c
+                   for j in range(pad)], axis=1)            # (p, pad)
+    zstack = np.swapaxes(filt_stepstate_sos(sos), 0, 1).reshape(p)
+    # per-shard back-injection propagation: shards ending at or before
+    # n_inj propagate A^{n_inj-end}; the shard containing n_inj (and
+    # any fully-padded shard) row-shifts the response instead
+    ends = (np.arange(nsh) + 1) * nlocal
+    Aadj = np.stack([np.linalg.matrix_power(A, int(max(n_inj - e, 0)))
+                     for e in ends])
+    sshift = np.clip(ends - n_inj, 0, nlocal).astype(np.int32)
+    k_star = (n_inj - 1) // nlocal
+    r_star = (n_inj - 1) % nlocal
+
+    @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    def run(xs):
+        flat = xs.reshape(xs.shape[0], -1)
+        dtype = jnp.result_type(flat.dtype, jnp.float32)
+        flat = flat.astype(dtype)
+        C = flat.shape[1]
+        idx = lax.axis_index(time_axis)
+        zst = jnp.asarray(zstack, dtype)[:, None]
+        prec = lax.Precision.HIGHEST
+
+        # ---- forward pass with closed-form front-extension state ----
+        z0 = jnp.zeros((p, C), dtype)
+        y0, v = _blockss_apply(ss, flat, z0, need_state=True)
+        front = 2 * flat[:1] - flat[pad:0:-1]               # (pad, C)
+        z_init = zst * front[0][None, :]
+        z_e = (jnp.asarray(Apad).astype(dtype) @ z_init
+               + jnp.einsum("pj,jc->pc", jnp.asarray(Kf).astype(dtype),
+                            front, precision=prec))
+        z_e = lax.psum(jnp.where(idx == 0, z_e, 0.0), time_axis)
+        zin = _shard_affine_prefix(T_np, v, time_axis, nsh)
+        zin = zin + jnp.einsum(
+            "ab,bc->ac", jnp.asarray(Apow).astype(dtype)[idx], z_e,
+            precision=prec)
+        y1 = y0 + _zero_input_response(ss, zin, nlocal, dtype)
+
+        # ---- anti-causal pass ----
+        # initial state zst * y1[n_inj-1], extracted from its shard
+        row = lax.psum(jnp.where(idx == k_star, y1[r_star], 0.0),
+                       time_axis)
+        z_inj = zst * row[None, :]
+        # zero the forward decay tail past the extension end
+        g_idx = idx * nlocal + jnp.arange(nlocal)
+        y1m = jnp.where((g_idx < n_inj)[:, None], y1, 0.0)
+
+        yr, w = _blockss_apply(ss, y1m, z0, need_state=True, reverse=True)
+        zrin = _shard_affine_suffix(T_np, w, time_axis, nsh)
+        corr0 = _zero_input_response(ss, zrin, nlocal, dtype)[::-1]
+        zadj = jnp.einsum(
+            "ab,bc->ac", jnp.asarray(Aadj).astype(dtype)[idx], z_inj,
+            precision=prec)
+        resp = _zero_input_response(ss, zadj, nlocal, dtype)[::-1]
+        respp = jnp.concatenate([resp, jnp.zeros_like(resp)], axis=0)
+        shifted = lax.dynamic_slice_in_dim(
+            respp, jnp.asarray(sshift)[idx], nlocal, 0)
+        y2 = yr + corr0 + shifted
+        return y2.reshape(xs.shape)
+
+    return run(xe)[:n_orig]
+
+
 def _w_of(ss):
     """Recover the output map w from the block tables: G[0] = (A^0)'w."""
     return ss.G[0]
@@ -373,12 +490,10 @@ def shard_sosfilt(sos, g, x, mesh, time_axis="time", channel_axis=None):
     cspec = () if (x.ndim == 1 or channel_axis is None) else (channel_axis,)
     spec = P(time_axis, *cspec)
 
-    nsh = int(np.prod([d for ax, d in zip(mesh.axis_names,
-                                          mesh.devices.shape)
-                       if ax == time_axis]))
-    n_local = x.shape[0] // nsh
-    if x.shape[0] % nsh:
-        raise ValueError("signal length must divide the time shards")
+    nsh = _ntime(mesh, time_axis)
+    n_orig = x.shape[0]
+    n_local = -(-n_orig // nsh)
+    x = _pad_time(x, n_local * nsh)   # causal: padded tail sliced off
 
     ss = _blockss(*_stack_cascade(sos, float(g)))
     # whole-shard transition T = A^n_local (host, binary exponentiation)
@@ -397,7 +512,8 @@ def shard_sosfilt(sos, g, x, mesh, time_axis="time", channel_axis=None):
         ycorr = _zero_input_response(ss, zin, n_local, dtype)
         return (y0 + ycorr).reshape(xs.shape)
 
-    return run(x)
+    y = run(x)
+    return y if y.shape[0] == n_orig else y[:n_orig]
 
 
 def shard_stft_pow(x, n, noverlap, window, mesh, time_axis="time",
@@ -412,13 +528,10 @@ def shard_stft_pow(x, n, noverlap, window, mesh, time_axis="time",
     x = jnp.asarray(x)
     win = None if window is None else jnp.asarray(window)
     hop = n - noverlap
-    ntime = int(np.prod([d for ax, d in zip(mesh.axis_names,
-                                            mesh.devices.shape)
-                         if ax == time_axis]))
-    nlocal = x.shape[0] // ntime
-    if x.shape[0] % ntime or nlocal % hop:
-        raise ValueError("signal length must split into time shards that "
-                         "are a multiple of hop = n - noverlap")
+    ntime = _ntime(mesh, time_axis)
+    n_orig = x.shape[0]
+    nlocal = -(-n_orig // (ntime * hop)) * hop
+    x = _pad_time(x, nlocal * ntime)
     if noverlap > nlocal:
         raise ValueError("noverlap (the cross-shard halo) must not exceed "
                          "the local shard length")
@@ -444,7 +557,7 @@ def shard_stft_pow(x, n, noverlap, window, mesh, time_axis="time",
         starts = jnp.arange(nseg) * hop
         shard_idx = lax.axis_index(time_axis)
         gstart = shard_idx * nlocal + starts
-        valid = (gstart + n <= x.shape[0]).astype(xcat.dtype)
+        valid = (gstart + n <= n_orig).astype(xcat.dtype)
         q = -(-n // hop)
         need = (nseg + q) * hop
         xp = xcat if xcat.shape[0] >= need else jnp.pad(
@@ -509,20 +622,24 @@ def shard_resample(h, ratio, x, mesh, time_axis="time", channel_axis=None):
     L, M = ratio.numerator, ratio.denominator
     x = jnp.asarray(x)
     h = np.asarray(h)
-    nsh = int(np.prod([d for ax, d in zip(mesh.axis_names,
-                                          mesh.devices.shape)
-                       if ax == time_axis]))
-    n_local = x.shape[0] // nsh
-    if x.shape[0] % nsh:
-        raise ValueError("signal length must divide the time shards")
+    nsh = _ntime(mesh, time_axis)
+    n_orig = x.shape[0]
+    n_local = -(-n_orig // nsh)
+    x = _pad_time(x, n_local * nsh)
 
     # polyphase bank and per-shard entry state (host O(nsh))
     pfb = taps2pfb(h, L)                    # (tapsPerPhi, L)
     taps = pfb.shape[0]
     hl = taps - 1                           # history halo length
+    if hl > n_local:
+        raise ValueError(
+            f"per-phase history ({hl}) exceeds the per-shard length "
+            f"({n_local}); xs[-hl:] would yield a short halo and wrong "
+            f"boundary samples — use fewer time shards or longer input")
     pfb_t = pfb.T                           # (L, taps)
     ref = FIRFilter(h, ratio if (L > 1 or M > 1) else 1)
     states = []
+    valid_counts = []
     k0 = ref.kernel
     for k in range(nsh):
         phi = getattr(k0, "phi_idx", 1)
@@ -530,10 +647,13 @@ def shard_resample(h, ratio, x, mesh, time_axis="time", channel_axis=None):
         states.append((deficit, phi))
         out_k = (outputlength(n_local - deficit + 1, ratio, phi)
                  if n_local >= deficit else 0)
+        # valid outputs consume only the shard's real (unpadded) samples
+        r_k = max(min(n_orig - k * n_local, n_local), 0)
+        valid_counts.append(
+            max(outputlength(r_k - deficit + 1, ratio, phi), 0)
+            if r_k >= deficit else 0)
         k0.commit(n_local, out_k)
-    out_counts = np.array(
-        [max(outputlength(n_local - d + 1, ratio, p), 0)
-         if n_local >= d else 0 for d, p in states])
+    out_counts = np.array(valid_counts)
     Bs = -(-out_counts // L)
     Bmax = int(Bs.max())
     out_max = Bmax * L
@@ -604,13 +724,10 @@ def shard_mt_spectrogram(x, config, n_overlap=None, mesh=None,
     if n_overlap is None:
         n_overlap = n >> 1
     hop = n - n_overlap
-    ntime = int(np.prod([d for ax, d in zip(mesh.axis_names,
-                                            mesh.devices.shape)
-                         if ax == time_axis]))
-    nlocal = x.shape[0] // ntime
-    if x.shape[0] % ntime or nlocal % hop:
-        raise ValueError("signal length must split into time shards that "
-                         "are a multiple of hop")
+    ntime = _ntime(mesh, time_axis)
+    n_orig = x.shape[0]
+    nlocal = -(-n_orig // (ntime * hop)) * hop
+    x = _pad_time(x, nlocal * ntime)
     if n_overlap > nlocal:
         raise ValueError("n_overlap (the cross-shard halo) must not "
                          "exceed the local shard length")
@@ -634,7 +751,7 @@ def shard_mt_spectrogram(x, config, n_overlap=None, mesh=None,
         starts = jnp.arange(nseg) * hop
         shard_idx = lax.axis_index(time_axis)
         gstart = shard_idx * nlocal + starts
-        valid = (gstart + n <= x.shape[0])
+        valid = (gstart + n <= n_orig)
         q = -(-n // hop)
         need = (nseg + q) * hop
         xp = xcat if xcat.shape[0] >= need else jnp.pad(

@@ -209,3 +209,112 @@ class TestShardMTSpectrogram:
                                    np.asarray(ref.power).T,
                                    rtol=1e-9, atol=1e-12)
         assert np.all(np.asarray(pw)[k:] == 0)
+
+
+class TestOddLengthAutopad:
+    """Arbitrary (non-divisible, odd) lengths must work on any mesh:
+    the sharded ops zero-pad internally and mask/slice the tails."""
+
+    def test_shard_fir_odd(self, mesh):
+        b = rng.standard_normal(31)
+        x = rng.standard_normal(4097)
+        got = np.asarray(shard_fir(b, x, mesh))
+        np.testing.assert_allclose(got, sp.lfilter(b, [1.0], x), atol=1e-10)
+
+    def test_shard_sosfilt_odd(self, mesh):
+        sos_sp = sp.butter(4, 0.3, output="sos")
+        ours = np.column_stack([sos_sp[:, :3], sos_sp[:, 4:]])
+        x = rng.standard_normal(3001)
+        got = np.asarray(shard_sosfilt(ours, 1.0, x, mesh))
+        np.testing.assert_allclose(got, sp.sosfilt(sos_sp, x), atol=1e-9)
+
+    @pytest.mark.parametrize("n_sig", [4097, 5000, 1000])
+    def test_shard_welch_odd(self, mesh, n_sig):
+        n, noverlap = 256, 128
+        x = rng.standard_normal(n_sig)
+        win = np.asarray(windows.hanning(n))
+        psd, freqs = shard_welch(x, n, noverlap, win, mesh, fs=2.0)
+        ref = welch_pgram(x, n, noverlap, window=win, fs=2.0)
+        np.testing.assert_allclose(np.asarray(psd), np.asarray(power(ref)),
+                                   rtol=1e-6, atol=1e-10)
+
+    def test_shard_spectrogram_odd(self, mesh):
+        from dsptpu.parallel import shard_spectrogram
+        from dsptpu.ops.periodograms import spectrogram
+        n, noverlap = 128, 64
+        x = rng.standard_normal(4100)
+        win = np.asarray(windows.hanning(n))
+        pw, freqs, t = shard_spectrogram(x, n, noverlap, win, mesh)
+        ref = spectrogram(x, n, noverlap, window=win)
+        k = np.asarray(ref.power).shape[1]
+        np.testing.assert_allclose(np.asarray(pw)[:k],
+                                   np.asarray(ref.power).T,
+                                   rtol=1e-9, atol=1e-12)
+        assert np.all(np.asarray(pw)[k:] == 0)
+
+    @pytest.mark.parametrize("n_sig", [3001, 4097])
+    def test_shard_filtfilt_odd(self, mesh, n_sig):
+        from dsptpu.parallel import shard_filtfilt
+        from dsptpu.filters import (Butterworth, Lowpass, digitalfilter,
+                                    filtfilt, as_sos)
+        from dsptpu.filters.filt import _sos_arrays
+        f = digitalfilter(Lowpass(0.2), Butterworth(8))
+        sos, g = _sos_arrays(as_sos(f))
+        x = rng.standard_normal(n_sig)
+        got = np.asarray(shard_filtfilt(sos, g, x, mesh))
+        want = np.asarray(filtfilt(f, x=jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-8)
+
+    def test_shard_filtfilt_odd_multichannel(self, mesh2d):
+        from dsptpu.parallel import shard_filtfilt
+        from dsptpu.filters import (Butterworth, Bandpass, digitalfilter,
+                                    filtfilt, as_sos)
+        from dsptpu.filters.filt import _sos_arrays
+        f = digitalfilter(Bandpass(0.15, 0.4), Butterworth(3))
+        sos, g = _sos_arrays(as_sos(f))
+        x = rng.standard_normal((2050, 4))
+        got = np.asarray(shard_filtfilt(sos, g, x, mesh2d,
+                                        channel_axis="channel"))
+        want = np.asarray(filtfilt(f, x=jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-8)
+
+    def test_shard_filtfilt_tiny(self, mesh):
+        # n < one 128-block per shard: most shards are pure padding
+        from dsptpu.parallel import shard_filtfilt
+        from dsptpu.filters import (Butterworth, Lowpass, digitalfilter,
+                                    filtfilt, as_sos)
+        from dsptpu.filters.filt import _sos_arrays
+        f = digitalfilter(Lowpass(0.3), Butterworth(4))
+        sos, g = _sos_arrays(as_sos(f))
+        x = rng.standard_normal(200)
+        got = np.asarray(shard_filtfilt(sos, g, x, mesh))
+        want = np.asarray(filtfilt(f, x=jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-8)
+
+    def test_shard_resample_odd(self, mesh):
+        from fractions import Fraction
+        from dsptpu.parallel.ops import shard_resample, compact_shards
+        from dsptpu.filters.stream_filt import FIRFilter
+        from dsptpu.filters import resample_filter
+        ratio = Fraction(3, 2)
+        h = np.asarray(resample_filter(ratio))
+        x = rng.standard_normal(8001)
+        y, cnt = shard_resample(h, ratio, x, mesh)
+        got = np.asarray(compact_shards(y, cnt))
+        ref = np.asarray(FIRFilter(h, ratio).filt(jnp.asarray(x)))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-10)
+
+    def test_shard_mt_spectrogram_odd(self, mesh):
+        from dsptpu.parallel import shard_mt_spectrogram
+        from dsptpu.ops.multitaper import MTConfig, mt_spectrogram
+        n, noverlap = 128, 64
+        x = rng.standard_normal(4099)
+        cfg = MTConfig.create(n, nw=2, nfft=n)
+        pw = shard_mt_spectrogram(x, cfg, noverlap, mesh)
+        ref = mt_spectrogram(jnp.asarray(x), config=cfg, n_overlap=noverlap)
+        k = np.asarray(ref.power).shape[1]
+        np.testing.assert_allclose(np.asarray(pw)[:k],
+                                   np.asarray(ref.power).T,
+                                   rtol=1e-9, atol=1e-12)
+        assert np.all(np.asarray(pw)[k:] == 0)
