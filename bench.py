@@ -282,6 +282,23 @@ def main():
     t_dev_b = _timeit(poly_dev_b, x4j, k=64)
     extra["resample_3_2_msps"] = round(n4 / t_dev_b / 1e6, 1)
     _log(f"  resample 3//2: {n4/t_dev_b/1e6:.1f} MS/s")
+    # arbitrary-rate (FIRArbitrary dual-PFB, reference
+    # stream_filt.jl:567-625) — the non-rational practice case of
+    # BASELINE config 4 (clock-drift compensation around unity)
+    rate_arb = 0.9997
+    n4c = n4 // 4
+    h4c = np.asarray(dsptpu.resample_filter(rate_arb)).astype(dtype)
+    sfc = stream_filt.FIRFilter(h4c, rate_arb)
+    x4cj = jnp.asarray(x4[:n4c])
+
+    def poly_dev_c(xc):
+        sfc.reset()
+        return sfc.filt(xc)
+
+    t_dev_c = _timeit(poly_dev_c, x4cj, k=8)
+    extra["resample_arb_0p9997_msps"] = round(n4c / t_dev_c / 1e6, 1)
+    _log(f"  resample arbitrary 0.9997: {n4c/t_dev_c/1e6:.1f} MS/s "
+         f"(dual-PFB, Nphi-fold all-phase overcount)")
 
     # -- config 5: IIR filtfilt (SOS8) + LPC (Levinson, order 16) -----------
     n5 = 1_000_000 // scale

@@ -168,32 +168,127 @@ def _pfb_dot_arb(xcat, pfb_t, dpfb_t, end_idx, phi_idx, alpha, winlen):
     its derivative bank (reference stream_filt.jl:579-625).
 
     TPU form: instead of gathering a (out_len, taps) window matrix,
-    compute ALL (position, phase) filter outputs as one im2col matmul
-    on the MXU — frames come from `winlen` shifted slices, not a
-    gather — then pick each output's (x_idx, phi) element with a
-    single-element gather. The Nphi-fold FLOP overcount is free on the
-    MXU; the gather volume drops by the tap count."""
+    compute ALL (position, phase) filter outputs with one 2*Nphi-
+    output-channel XLA convolution (lowered onto the MXU with im2col
+    kept in VMEM — an explicit (nw, taps) frame stack materialized
+    taps x the signal in HBM), then pick each output's (x_idx, phi)
+    element with a single-element gather. The Nphi-fold FLOP overcount
+    is the documented cost of full static shapes; the near-1-rate
+    fast path (_arb_runs) avoids it when the phase drift is slow."""
     n = xcat.shape[0]
     nw = n - winlen + 1  # windows ending at winlen-1 .. n-1
-    frames = jnp.stack([xcat[t: t + nw] for t in range(winlen)], axis=1)
-    # (nw, winlen, *chans); banks are (nphi, winlen)
-    both = jnp.concatenate([pfb_t, dpfb_t], axis=0)
-    dt = jnp.result_type(frames.dtype, both.dtype)
-    frames = frames.astype(dt)
-    both = both.astype(dt)
-    if frames.ndim == 2:
-        allout = jnp.dot(frames, both.T,
-                         precision=jax.lax.Precision.HIGHEST)
-    else:
-        allout = jnp.einsum("nw...,pw->np...", frames, both,
-                            precision=jax.lax.Precision.HIGHEST)
+    both = jnp.concatenate([pfb_t, dpfb_t], axis=0)   # (2*nphi, winlen)
+    dt = jnp.result_type(xcat.dtype, both.dtype)
+    flat_ch = xcat.reshape(n, -1)                     # (n, C)
+    C = flat_ch.shape[1]
+    lhs = flat_ch.T.astype(dt)[:, None, :]            # (C, 1, n)
+    rhs = both.astype(dt)[:, None, :]                 # (2*nphi, 1, winlen)
+    allout = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        precision=jax.lax.Precision.HIGHEST)          # (C, 2*nphi, nw)
     nphi = pfb_t.shape[0]
-    flat = (end_idx - (winlen - 1)) * (2 * nphi) + phi_idx
-    a2 = allout.reshape((nw * 2 * nphi,) + allout.shape[2:])
-    y_lo = a2[flat]
-    y_hi = a2[flat + nphi]
-    extra = (1,) * (y_lo.ndim - 1)
-    return y_lo + alpha.reshape(alpha.shape + extra).astype(y_lo.dtype) * y_hi
+    # select (x position, phase) per output: flat index into (2nphi*nw)
+    flat = phi_idx * nw + (end_idx - (winlen - 1))
+    a2 = allout.reshape(C, 2 * nphi * nw)
+    y_lo = a2[:, flat]                                # (C, o)
+    y_hi = a2[:, flat + nphi * nw]
+    y = y_lo + alpha[None, :].astype(y_lo.dtype) * y_hi
+    out = jnp.moveaxis(y, 0, -1)                      # (o, C)
+    return out.reshape((flat.shape[0],) + xcat.shape[1:])
+
+
+def _arb_segment_plan(x_idx, phi_idx, out_len, nphi, winlen,
+                      lcap=128):
+    """Host planning for the near-unity-rate fast path: split outputs
+    into maximal runs with constant phase AND unit input stride (for
+    rates near 1 the phase accumulator drifts slowly, so runs are long;
+    reference stream_filt.jl:567-577 semantics are preserved exactly —
+    this only regroups the per-output dots). Runs longer than lcap are
+    chopped so the banded tap table stays small. Returns None when runs
+    are too short to beat the all-phase path."""
+    if out_len < 1024:
+        return None
+    brk = np.nonzero((np.diff(phi_idx) != 0)
+                     | (np.diff(x_idx) != 1))[0] + 1
+    starts = np.concatenate([[0], brk]).astype(np.int64)
+    ends = np.concatenate([brk, [out_len]]).astype(np.int64)
+    lens = ends - starts
+    if lens.mean() < 16:
+        return None
+    # chop runs at lcap
+    s2 = []
+    for s, e in zip(starts, ends):
+        for c in range(s, e, lcap):
+            s2.append(c)
+    starts = np.asarray(s2, np.int64)
+    ends = np.minimum(starts + lcap, np.concatenate(
+        [starts[1:], [out_len]]))
+    # segment bounds: each start belongs to its original run; end is
+    # min(start + lcap, next start)
+    lens = ends - starts
+    phases = phi_idx[starts]
+    order = np.argsort(phases, kind="stable")
+    starts_s, lens_s, phases_s = starts[order], lens[order], phases[order]
+    nseg = len(starts_s)
+    Lm = int(lens.max())
+    W = Lm + winlen - 1
+    # group boundaries per phase value (static for the jit)
+    bounds = np.searchsorted(phases_s, np.arange(nphi + 1))
+    # F gather rows: e0 - (winlen-1) + t (e0 = 0-based window end of
+    # the run's first output inside x, caller adds history offset)
+    e0 = x_idx[starts_s] - 1       # 1-based -> 0-based within x part
+    gather_rows = e0[:, None] - (winlen - 1) + np.arange(W)[None, :]
+    # output reassembly: out j -> (sorted segment row, in-segment col)
+    seg_of = np.zeros(out_len, np.int64)
+    seg_of[starts[1:]] = 1
+    seg_of = np.cumsum(seg_of)            # unsorted segment id
+    inv = np.empty(nseg, np.int64)
+    inv[order] = np.arange(nseg)
+    w_of = np.arange(out_len) - starts[seg_of]
+    gidx = inv[seg_of] * Lm + w_of
+    return (gather_rows, tuple(int(b) for b in bounds), Lm, W, gidx)
+
+
+def _arb_seg_tables(pfb, dpfb, Lm, W):
+    """(nphi, W, 2*Lm) banded per-phase tap tables: column w of phase
+    p holds pfb[:, p] at rows [w, w+taps) (bank 2 = derivative)."""
+    nphi = pfb.shape[1]
+    G = np.zeros((nphi, W, 2 * Lm), pfb.dtype)
+    for p in range(nphi):
+        for t in range(pfb.shape[0]):
+            idx = np.arange(Lm)
+            G[p, idx + t, idx] = pfb[t, p]
+            G[p, idx + t, Lm + idx] = dpfb[t, p]
+    return G
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _pfb_dot_arb_segments(xcat, G, rows, bounds, Lm, hist_off,
+                          alpha=None, gidx=None):
+    """Near-unity-rate arbitrary resampling via per-phase banded
+    matmuls over host-planned constant-phase runs (no all-phase
+    overcount, no window gather: one row-gather of segment frames, 32
+    static matmuls, one output gather)."""
+    flat = xcat.reshape(xcat.shape[0], -1)            # (n, C)
+    # mode="clip": the last segment's frame tail reads past the signal
+    # end; those rows only reach output columns beyond the segment's
+    # true length, which the gidx reassembly never selects (jnp.take's
+    # default "fill" mode would inject NaN there and poison the tail)
+    F = jnp.take(flat, rows + hist_off, axis=0, mode="clip")
+    dt = jnp.result_type(flat.dtype, G.dtype)
+    F = F.astype(dt)
+    outs = []
+    for p in range(len(bounds) - 1):
+        a, b = bounds[p], bounds[p + 1]
+        if a == b:
+            continue
+        outs.append(jnp.einsum("swc,wo->soc", F[a:b], G[p],
+                               precision=jax.lax.Precision.HIGHEST))
+    Y = jnp.concatenate(outs, axis=0)                 # (nseg, 2Lm, C)
+    y1 = Y[:, :Lm].reshape(-1, Y.shape[2])            # (nseg*Lm, C)
+    y2 = Y[:, Lm:].reshape(-1, Y.shape[2])
+    y = y1[gidx] + alpha[:, None].astype(y1.dtype) * y2[gidx]
+    return y.reshape((gidx.shape[0],) + xcat.shape[1:])
 
 
 # ---------------------------------------------------------------------------
@@ -641,6 +736,7 @@ class FIRFilter:
             cache = getattr(k, "_plan_cache", None)
             if cache is None or cache[0] != key:
                 head, alpha, out_len = k.plan(xlen)
+                segs = None
                 if out_len:
                     x_idx, phi_idx = head[0], head[1]
                     end0 = self.history_len + x_idx - 1  # 0-based in xcat
@@ -649,11 +745,31 @@ class FIRFilter:
                     dev = (jnp.asarray(end0.astype(np.int32)),
                            jnp.asarray(phi_idx.astype(np.int32)),
                            jnp.asarray(alpha, dtype=adt))
+                    sp = _arb_segment_plan(x_idx, phi_idx, out_len,
+                                           k.nphi, k.taps_per_phi)
+                    if sp is not None:
+                        rows, bounds, Lm, W, gidx = sp
+                        Gt = getattr(k, "_seg_tables", None)
+                        if Gt is None or Gt[0] != (Lm, W):
+                            Gnp = _arb_seg_tables(
+                                np.asarray(k.pfb_t).T,
+                                np.asarray(k.dpfb_t).T, Lm, W)
+                            k._seg_tables = Gt = ((Lm, W),
+                                                  jnp.asarray(Gnp))
+                        segs = (Gt[1], jnp.asarray(rows.astype(np.int32)),
+                                bounds, Lm,
+                                jnp.asarray(alpha, dtype=adt),
+                                jnp.asarray(gidx.astype(np.int32)))
                 else:
                     dev = None
-                cache = k._plan_cache = (key, dev, out_len)
-            _, dev, out_len = cache
-            if out_len:
+                cache = k._plan_cache = (key, dev, out_len, segs)
+            _, dev, out_len, segs = cache
+            if out_len and segs is not None:
+                G, rows, bounds, Lm, alpha_d, gidx = segs
+                y = _pfb_dot_arb_segments(xcat, G, rows, bounds, Lm,
+                                          self.history_len,
+                                          alpha=alpha_d, gidx=gidx)
+            elif out_len:
                 y = _pfb_dot_arb(xcat, k.pfb_t, k.dpfb_t,
                                  dev[0], dev[1], dev[2], k.taps_per_phi)
             else:

@@ -6,6 +6,7 @@ from fractions import Fraction
 import math
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 from scipy import signal as sp
 
@@ -199,3 +200,62 @@ class TestResampleAPI:
         t2 = np.arange(len(y)) * 2 / 3
         want = np.sin(2 * np.pi * 0.01 * t2)
         np.testing.assert_allclose(y[100:-100], want[100:-100], atol=1e-3)
+
+
+class TestArbitrarySegmentPath:
+    """Near-unity rates take the constant-phase-run fast path
+    (_pfb_dot_arb_segments); it must agree exactly with the all-phase
+    path and with the naive model."""
+
+    def test_segment_path_active_and_exact(self):
+        from dsptpu.filters.stream_filt import (FIRFilter, _pfb_dot_arb,
+                                                _arb_segment_plan)
+        h = sp.firwin(64 * 32, 1 / 32 * 0.9)
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal(50_000)
+        rate = 0.9997
+        sf = FIRFilter(h, rate)
+        k = sf.kernel
+        head, alpha, out_len = k.plan(len(x))
+        assert out_len > 1024
+        sp_plan = _arb_segment_plan(head[0], head[1], out_len,
+                                    k.nphi, k.taps_per_phi)
+        assert sp_plan is not None, "segment path should be active"
+        got = np.asarray(sf.filt(jnp.asarray(x)))
+        # all-phase reference on the same plan
+        xcat = jnp.concatenate([jnp.zeros(sf.history_len), jnp.asarray(x)])
+        end0 = sf.history_len + head[0] - 1
+        want = np.asarray(_pfb_dot_arb(
+            xcat, k.pfb_t, k.dpfb_t, jnp.asarray(end0.astype(np.int32)),
+            jnp.asarray(head[1].astype(np.int32)), jnp.asarray(alpha),
+            k.taps_per_phi))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_segment_path_chunked_stream(self):
+        from dsptpu.filters.stream_filt import FIRFilter
+        h = sp.firwin(32 * 32, 1 / 32 * 0.9)
+        rng = np.random.default_rng(12)
+        x = rng.standard_normal(30_000)
+        rate = 1.0003
+        whole = np.asarray(polyphase_filt(h, x, rate))
+        sf = FIRFilter(h, rate)
+        parts = [np.asarray(sf.filt(jnp.asarray(c)))
+                 for c in np.split(x, [7000, 19000])]
+        got = np.concatenate(parts)
+        # near-unity rates drift the phase accumulator slowly across
+        # integer phase boundaries; a chunk restart re-derives acc0 with
+        # different float rounding, so a handful of knife-edge outputs
+        # legitimately pick the adjacent (phase, alpha) pair (the dual
+        # PFB is continuous there up to the lerp, ~1e-4). Everything
+        # else must match to fp noise.
+        close = np.isclose(got, whole, atol=1e-10, rtol=1e-7)
+        assert close.mean() > 0.999
+        np.testing.assert_allclose(got, whole, atol=1e-4)
+
+    def test_wild_rate_stays_allphase(self):
+        from dsptpu.filters.stream_filt import _arb_segment_plan, FIRFilter
+        h = sp.firwin(32 * 32, 1 / 32 * 0.9)
+        sf = FIRFilter(h, 1.35)
+        head, alpha, out_len = sf.kernel.plan(5000)
+        assert _arb_segment_plan(head[0], head[1], out_len, 32, 32) is None
