@@ -659,6 +659,48 @@ class FIRFilter:
                     (self.history_len,) + x.shape[1:], x.dtype))
             self.history = zc[1]
 
+    def _pfb2_filt(self, k, x, xlen, out_len):
+        """Zero-copy Pallas path (kernels/pfb2) for fresh zero-history
+        1-D real-f32 rational/integer-rate streams — the resample()
+        hot path. Returns (y, new_history) or None to fall back to the
+        XLA block matmul (streaming history, channels, unsupported
+        geometry)."""
+        if x.ndim != 1 or jnp.iscomplexobj(x) \
+                or jnp.dtype(x.dtype) != jnp.dtype(jnp.float32):
+            return None
+        if jnp.iscomplexobj(k.pfb_t):
+            return None
+        fresh = (self.history_len == 0
+                 or (getattr(self, "_zero_hist", None) is not None
+                     and self.history is self._zero_hist[1]))
+        if not fresh:
+            return None
+        from ..ops.dspbase import _pallas_os_state
+        use_k, interp = _pallas_os_state()
+        if not use_k:
+            return None
+        if isinstance(k, FIRRational):
+            L, M = k.ratio.numerator, k.ratio.denominator
+            phi0 = k.phi_idx
+        elif isinstance(k, FIRInterpolator):
+            L, M = k.interpolation, 1
+            phi0 = k.phi_idx
+        elif isinstance(k, FIRDecimator):
+            L, M = 1, k.decimation
+            phi0 = 1
+        else:
+            return None
+        from ..kernels.pfb2 import pfb2_supported, pfb2_resample_pallas
+        pfb_host = np.asarray(k.pfb_t).T          # (taps_per_phi, L)
+        if not pfb2_supported(L, M, pfb_host.shape[0], jnp.float32):
+            return None
+        y = pfb2_resample_pallas(x, pfb_host, L, M, phi0,
+                                 k.input_deficit, out_len,
+                                 interpret=interp)
+        hl = self.history_len
+        nh = x[xlen - hl:] if (hl and xlen >= hl) else None
+        return y, nh
+
     def _block_args(self, xlen):
         """Host-side planning for the block-matmul device path: build
         the (W, L) banded tap matrix G for the kernel's current phase
@@ -791,7 +833,13 @@ class FIRFilter:
         else:
             out_len = (k.output_length(xlen)
                        if xlen >= k.input_deficit else 0)
-            if out_len:
+            pfb2_res = (self._pfb2_filt(k, x, xlen, out_len)
+                        if out_len else None)
+            if pfb2_res is not None:
+                y, nh = pfb2_res
+                if nh is not None:
+                    newhist = nh
+            elif out_len:
                 G, s0, B, M, W, out_len = self._block_args(xlen)
                 # cache the device copy: re-uploading the host-built G
                 # every call costs a host->device transfer (~ms over a

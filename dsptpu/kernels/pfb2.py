@@ -1,0 +1,289 @@
+"""Pallas TPU kernel v2 for block-polyphase rational resampling.
+
+The XLA block-matmul path (stream_filt._block_matmul) is frame-
+materialization-bound on TPU: each of its q+1 shifted (B, M) frame
+parts is a strided reshape of the whole signal that XLA materializes
+lane-padded in HBM (M = 160 pads to 256 lanes), and the (B, L) result
+pays the same padding on the way out — measured v5e 147//160 x 10M:
+0.87 ms where the minimum traffic is ~94 us (reference hot loop
+stream_filt.jl:476-515).
+
+This kernel is zero-copy on both sides. Geometry: outputs and inputs
+align every `k` blocks, k chosen so one *superchunk* is both
+lane-exact and sublane-exact:
+
+    k*M % 1024 == 0 and k*L % 128 == 0
+    P_in  = k*M/128 input rows  per superchunk (multiple of 8)
+    O_r   = k*L/128 output rows per superchunk
+
+Within a superchunk the input-row -> output-row mapping is a fixed
+banded lane-mixing structure: output row class c (of O_r) reads input
+rows r_lo(c) .. r_lo(c)+D-1 and
+
+    Y[c] = sum_d X[r_lo(c)+d] @ T[c,d],   T[c,d] 128x128
+
+where T[c,d] scatters each output lane's taps-per-phase PFB column at
+its window offset (host-built via one numpy scatter per tap). The
+kernel grid walks S-superchunk tiles; per tile the input block
+(S*P_in, 128) and output block (S*O_r, 128) are resident in VMEM, the
+class loop is python-static, each (c, d) is ONE strided sublane load
+A[r_lo(c)+d :: P_in] -> (S, 128), one (S,128)@(128,128) MXU matmul,
+and each class ends with ONE strided sublane store to the contiguous
+output block. The signal is consumed as its natural (rows, 128)
+bitcast — no pads, no reshapes, no frame materialization. Tap tables
+stream from HBM in class groups with double-buffered manual DMA (the
+full table, O_r*D*64 KB, can exceed VMEM).
+
+Superchunk-boundary rows (a class window crossing into the next
+superchunk, or the zero history before the signal start) use two
+8-row side views of the same array plus masked single-row matmuls.
+
+v1 scope: stateless zero-history streams (fresh/reset FIRFilter — the
+`resample()` path), real f32, 1-D. The streaming-history case falls
+back to the XLA block matmul.
+"""
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    pallas_available = True
+except Exception:  # pragma: no cover
+    pallas_available = False
+
+__all__ = ["pfb2_supported", "pfb2_plan", "pfb2_resample_pallas",
+           "pallas_available"]
+
+
+def _superchunk(L, M):
+    """Smallest k with k*M % 1024 == 0 (P_in a multiple of 8 rows) and
+    k*L % 128 == 0 (whole output rows)."""
+    k = 1024 // math.gcd(M, 1024)
+    k *= 128 // math.gcd(k * L, 128)
+    assert k * M % 1024 == 0 and k * L % 128 == 0
+    return k
+
+
+def pfb2_supported(L, M, taps, dtype):
+    if not pallas_available:
+        return False
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        return False
+    if L < 1 or M < 1 or taps < 2:
+        return False
+    k = _superchunk(L, M)
+    if k * M // 128 > 4096:  # degenerate geometry (huge superchunks)
+        return False
+    # boundary spill must fit the 8-row side views
+    return (M + taps - 1) <= 7 * 128 and taps - 1 <= 8 * 128
+
+
+class _Pfb2Plan:
+    """Host geometry + tables for one (pfb, L, M, phi0, deficit)."""
+
+    __slots__ = ("k", "P_in", "O_r", "D", "tab", "r_lo", "L", "M",
+                 "taps", "CG")
+
+    def __init__(self, pfb, L, M, phi0, deficit):
+        taps, nphi = pfb.shape
+        assert nphi == L
+        k = _superchunk(L, M)
+        P_in = k * M // 128
+        O_r = k * L // 128
+        # window start (x coords, may be negative: zero history) and
+        # PFB column per output lane of each class
+        j = np.arange(k * L)
+        b, p = j // L, j % L
+        q = phi0 - 1 + M * p
+        w = (deficit - 1 - (taps - 1)) + b * M + q // L
+        col = q % L
+        w = w.reshape(O_r, 128)
+        col = col.reshape(O_r, 128)
+        r_lo = np.floor_divide(w.min(axis=1), 128)        # (O_r,)
+        r_hi = np.floor_divide(w.max(axis=1) + taps - 1, 128)
+        D = int((r_hi - r_lo).max()) + 1
+        tab = np.zeros((O_r, D, 128, 128), np.float32)
+        c_idx = np.repeat(np.arange(O_r), 128)
+        l_idx = np.tile(np.arange(128), O_r)
+        wf = w.reshape(-1)
+        cf = col.reshape(-1)
+        pfb32 = pfb.astype(np.float32)
+        for t in range(taps):
+            pos = wf + t
+            r, lane = np.floor_divide(pos, 128), np.mod(pos, 128)
+            d = r - r_lo[c_idx]
+            np.add.at(tab, (c_idx, d, lane, l_idx), pfb32[t, cf])
+        self.k, self.P_in, self.O_r, self.D = k, P_in, O_r, D
+        self.tab, self.r_lo = tab, r_lo.astype(np.int64)
+        self.L, self.M, self.taps = L, M, taps
+        # class-group size for table streaming (~2 MB per group),
+        # chosen as a divisor of O_r so groups tile exactly
+        cg = max(1, min(O_r, (2 << 20) // (D * 128 * 128 * 4)))
+        while O_r % cg:
+            cg -= 1
+        self.CG = cg
+
+
+_plan_cache = {}
+
+
+def pfb2_plan(pfb, L, M, phi0, deficit):
+    pfb = np.asarray(pfb)
+    key = (L, M, phi0, deficit, pfb.shape[0], hash(pfb.tobytes()))
+    hit = _plan_cache.get(key)
+    if hit is None:
+        if len(_plan_cache) > 64:
+            _plan_cache.clear()
+        hit = _plan_cache[key] = _Pfb2Plan(pfb, L, M, phi0, deficit)
+    return hit
+
+
+def _make_kernel(S, P_in, O_r, D, CG, r_lo, prec, R_sig):
+    """Kernel body with all class geometry baked as python constants.
+    Args: xa (S*P_in, 128) input tile, xprev/xnext (1, 8, 128) side
+    views, tab_hbm (O_r*D*128, 128) flat tables in HBM, o_ref
+    (S*O_r, 128), scratch (2, CG*D*128, 128), sem (2,). Rows at or
+    after the signal end (absolute row >= R_sig) are zero-masked: the
+    last partial output row mixes valid and past-the-end lanes, and an
+    unmasked OOB read would poison the valid lanes through the
+    lane-mixing matmul."""
+    ngrp = O_r // CG
+    rows_g = CG * D * 128
+
+    def kern(xa, xprev, xnext, tab_hbm, o_ref, scratch, sem):
+        st = pl.program_id(0)
+        dot = functools.partial(jnp.dot,
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        sup = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+        sup1 = sup[: S - 1]
+        base = st * (S * P_in)
+
+        def masked(rows, rr, nsup, supv):
+            live = base + rr + P_in * supv < R_sig
+            return jnp.where(live, rows, 0.0)
+
+        def start_copy(g, slot):
+            pltpu.make_async_copy(
+                tab_hbm.at[pl.ds(g * rows_g, rows_g), :],
+                scratch.at[slot], sem.at[slot]).start()
+
+        start_copy(0, 0)
+        for g in range(ngrp):
+            slot = g % 2
+            if g + 1 < ngrp:
+                start_copy(g + 1, (g + 1) % 2)
+            pltpu.make_async_copy(
+                tab_hbm.at[pl.ds(g * rows_g, rows_g), :],
+                scratch.at[slot], sem.at[slot]).wait()
+            for ci in range(CG):
+                c = g * CG + ci
+                r0c = r_lo[c]
+                acc = None
+                for d in range(D):
+                    rr = r0c + d
+                    T = scratch[slot, (ci * D + d) * 128:
+                                (ci * D + d + 1) * 128, :]
+                    if rr < 0:
+                        # supers 1..S-1 read in-tile rows
+                        # (P_in+rr) + P_in*(s-1); super 0 reads the
+                        # previous tile's tail (zero history at st==0)
+                        rows = xa[pl.Slice(P_in + rr, S - 1, P_in), :]
+                        main = dot(masked(rows, rr, S - 1, sup1 + 1), T)
+                        prev = dot(xprev[0, 8 + rr, :][None, :], T)
+                        prev = jnp.where(st > 0, prev, 0.0)
+                        part = jnp.zeros((S, 128), jnp.float32)
+                        part = part.at[1:, :].set(main)
+                        part = part.at[0:1, :].set(prev)
+                    elif rr >= P_in:
+                        # supers 0..S-2 read in-tile rows rr + P_in*s;
+                        # super S-1 spills into the next tile's head
+                        rows = xa[pl.Slice(rr, S - 1, P_in), :]
+                        main = dot(masked(rows, rr, S - 1, sup1), T)
+                        nrow = xnext[0, rr - P_in, :][None, :]
+                        nrow = jnp.where(
+                            base + rr + P_in * (S - 1) < R_sig, nrow,
+                            0.0)
+                        nxt = dot(nrow, T)
+                        part = jnp.zeros((S, 128), jnp.float32)
+                        part = part.at[: S - 1, :].set(main)
+                        part = part.at[S - 1: S, :].set(nxt)
+                    else:
+                        rows = xa[pl.Slice(rr, S, P_in), :]
+                        part = dot(masked(rows, rr, S, sup), T)
+                    acc = part if acc is None else acc + part
+                o_ref[pl.Slice(c, S, O_r), :] = acc
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "S", "P_in", "O_r", "D", "CG", "r_lo_t", "nst", "precision",
+    "interpret"))
+def _pfb2_jit(x2, tab, S, P_in, O_r, D, CG, r_lo_t, nst, precision,
+              interpret):
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    R = x2.shape[0]
+    R8 = max(R // 8, 1)
+    x8 = x2[: R8 * 8].reshape(R8, 8, 128)
+    tile_rows = S * P_in
+    t8 = tile_rows // 8
+    kern = _make_kernel(S, P_in, O_r, D, CG, r_lo_t, prec, R)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((nst * S * O_r, 128),
+                                       jnp.float32),
+        grid=(nst,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, 128), lambda st: (st, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128),
+                         lambda st: (jnp.maximum(st * t8 - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128),
+                         lambda st: (jnp.minimum(
+                             (st + 1) * t8, R8 - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((S * O_r, 128), lambda st: (st, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, CG * D * 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x2, x8, x8, tab)
+    return out
+
+
+def pfb2_resample_pallas(x, pfb, L, M, phi0, deficit, out_len,
+                         S=64, precision="highest", interpret=False):
+    """Rational polyphase resample of 1-D real f32 `x` (zero history).
+    pfb: (taps_per_phi, L) bank (taps2pfb layout). Returns (out_len,)
+    f32 matching stream_filt's FIRFilter.filt output exactly."""
+    plan = pfb2_plan(pfb, L, M, int(phi0), int(deficit))
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    R = -(-n // 128)
+    if R * 128 != n:
+        x = jnp.pad(x, (0, R * 128 - n))
+    x2 = x.reshape(R, 128)
+    O_r, P_in, D, CG = plan.O_r, plan.P_in, plan.D, plan.CG
+    out_rows = -(-out_len // 128)
+    nsuper = -(-out_rows // O_r)
+    S = max(2, min(S, nsuper))
+    nst = -(-nsuper // S)
+    r_lo_t = tuple(int(v) for v in plan.r_lo)
+    tab = jnp.asarray(plan.tab.reshape(O_r * D * 128, 128))
+    out = _pfb2_jit(x2, tab, S, P_in, O_r, D, CG, r_lo_t, nst,
+                    precision, interpret)
+    return out.reshape(-1)[:out_len]

@@ -275,3 +275,54 @@ def test_fir_pallas_via_filt_forced(monkeypatch):
     monkeypatch.setattr(dspbase, "_PALLAS_OS", False)
     want = np.asarray(dsptpu.filt(jnp.asarray(b), jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestPfb2Kernel:
+    """Zero-copy rational-resample kernel (kernels/pfb2): interpret-
+    mode output must match the XLA block-matmul path bit-for-bit-ish
+    on f32 for every kernel type and non-trivial stream state."""
+
+    @pytest.mark.parametrize("ratio_s,n", [
+        ("147/160", 3 * 20480 + 511), ("3/2", 40_000), ("1/4", 30_000),
+        ("5", 12_000)])
+    def test_matches_block_matmul(self, ratio_s, n):
+        from fractions import Fraction
+        import dsptpu.filters.stream_filt as sfm
+        from dsptpu.filters import resample_filter
+        ratio = Fraction(ratio_s)
+        L, M = ratio.numerator, ratio.denominator
+        h = np.asarray(resample_filter(ratio)).astype(np.float32)
+        pfb = sfm.taps2pfb(h, L)
+        from dsptpu.kernels.pfb2 import pfb2_supported, \
+            pfb2_resample_pallas
+        assert pfb2_supported(L, M, pfb.shape[0], np.float32)
+        rng2 = np.random.default_rng(3)
+        x = rng2.standard_normal(n).astype(np.float32)
+        f = sfm.FIRFilter(h, ratio)
+        f.setphase(f.timedelay())
+        k = f.kernel
+        phi0 = getattr(k, "phi_idx", 1)
+        dfc = k.input_deficit
+        ref = np.asarray(f.filt(jnp.asarray(x)))   # XLA path (f32 CPU)
+        y = np.asarray(pfb2_resample_pallas(
+            x, pfb, L, M, phi0, dfc, len(ref), S=4, interpret=True))
+        np.testing.assert_allclose(y, ref, atol=3e-5)
+
+    def test_dispatch_fresh_then_fallback(self, monkeypatch):
+        # forced-pallas: a fresh f32 stream takes the kernel; the next
+        # chunk (real history) falls back and stays stream-exact
+        from fractions import Fraction
+        import dsptpu.filters.stream_filt as sfm
+        import dsptpu.ops.dspbase as dspbase
+        from dsptpu.filters import resample_filter
+        monkeypatch.setattr(dspbase, "_PALLAS_OS", True)
+        ratio = Fraction(3, 2)
+        h = np.asarray(resample_filter(ratio)).astype(np.float32)
+        rng2 = np.random.default_rng(4)
+        x = rng2.standard_normal(30_000).astype(np.float32)
+        whole = np.asarray(sfm.FIRFilter(h, ratio).filt(jnp.asarray(x)))
+        f = sfm.FIRFilter(h, ratio)
+        parts = [np.asarray(f.filt(jnp.asarray(c)))
+                 for c in np.split(x, [11_000, 23_000])]
+        np.testing.assert_allclose(np.concatenate(parts), whole,
+                                   atol=3e-5)
