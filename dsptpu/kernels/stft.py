@@ -74,6 +74,59 @@ def _tables(nfft, N1, win):
             w2.real.astype(f32), w2.imag.astype(f32), wp.astype(f32))
 
 
+def _stage1_fft(planes, N1):
+    """First-stage DFT over the j1 planes as a radix-2
+    decimation-in-time FFT expression tree with shared subexpressions
+    (python-object reuse dedups the traced graph): ~N1 log2 N1 scaled
+    tile adds instead of the direct form's ~N1^2/2 — the kernel is
+    VMEM-tile-op-bound, so stage-1 op count is the welch/spectrogram
+    runtime lever. `None` stands for an identically-zero tile; +-1 and
+    +-i twiddles fold into adds/swaps. Returns [(re, im)] for all k1
+    (the caller indexes k1 <= N1//2; dead rows are DCE'd)."""
+    def add(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a + b
+
+    def sub(a, b):
+        if b is None:
+            return a
+        if a is None:
+            return -b
+        return a - b
+
+    def scale(c, a):
+        if a is None or abs(c) < 1e-12:
+            return None
+        if abs(c - 1.0) < 1e-12:
+            return a
+        if abs(c + 1.0) < 1e-12:
+            return -a
+        return a * float(c)
+
+    def fft(xs):
+        n = len(xs)
+        if n == 1:
+            return [xs[0]]
+        E = fft(xs[0::2])
+        O = fft(xs[1::2])
+        out = [None] * n
+        for k in range(n // 2):
+            wre = float(np.cos(-2.0 * np.pi * k / n))
+            wim = float(np.sin(-2.0 * np.pi * k / n))
+            ore, oim = O[k]
+            tre = sub(scale(wre, ore), scale(wim, oim))
+            tim = add(scale(wre, oim), scale(wim, ore))
+            ere, eim = E[k]
+            out[k] = (add(ere, tre), add(eim, tim))
+            out[k + n // 2] = (sub(ere, tre), sub(eim, tim))
+        return out
+
+    return fft([(p, None) for p in planes])
+
+
 def _kernel(q_hbm, w2re, wp, o_ref, scratch, sem, *,
             w1re, w1im, TB, N1, rows, hr, nrq, pad, nblocks, prec,
             accum, valid_last):
@@ -127,6 +180,7 @@ def _kernel(q_hbm, w2re, wp, o_ref, scratch, sem, *,
         fid = jax.lax.broadcasted_iota(jnp.int32, (TB, 128), 0)
         keep = (b < nblocks - 1) | (fid < valid_last)
         planes = [jnp.where(keep, p, 0.0) for p in planes]
+    fft_rows = _stage1_fft(planes, N1) if N1 & (N1 - 1) == 0 else None
     def stage1(k1):
         """First-stage DFT row k1 as tile adds; +-1 coefficients fold
         into adds/subs (most of W_N1 is 0/+-1/+-i)."""
@@ -165,7 +219,13 @@ def _kernel(q_hbm, w2re, wp, o_ref, scratch, sem, *,
     for k1 in range(rows):
         mirrored = k1 > N1 // 2
         if not mirrored:
-            bre, bim = stage1(k1)
+            if fft_rows is not None:
+                r, i = fft_rows[k1]
+                zero = lambda: jnp.zeros((TB, 128), jnp.float32)
+                bre = r if r is not None else zero()
+                bim = i if i is not None else zero()
+            else:
+                bre, bim = stage1(k1)
             cache[k1] = (bre, bim)
         else:
             bre, bim = cache[N1 - k1]
