@@ -277,16 +277,25 @@ def _pfb_dot_arb_segments(xcat, G, rows, bounds, Lm, hist_off,
     F = jnp.take(flat, rows + hist_off, axis=0, mode="clip")
     dt = jnp.result_type(flat.dtype, G.dtype)
     F = F.astype(dt)
+    C = F.shape[2]
     outs = []
     for p in range(len(bounds) - 1):
         a, b = bounds[p], bounds[p + 1]
         if a == b:
             continue
-        outs.append(jnp.einsum("swc,wo->soc", F[a:b], G[p],
-                               precision=jax.lax.Precision.HIGHEST))
-    Y = jnp.concatenate(outs, axis=0)                 # (nseg, 2Lm, C)
-    y1 = Y[:, :Lm].reshape(-1, Y.shape[2])            # (nseg*Lm, C)
-    y2 = Y[:, Lm:].reshape(-1, Y.shape[2])
+        if C == 1:
+            # plain 2-D matmul: a unit-batch einsum runs ~3x slower
+            # on the TPU batched-matmul path (measured v5e)
+            outs.append(jnp.dot(F[a:b, :, 0], G[p],
+                                precision=jax.lax.Precision.HIGHEST))
+        else:
+            outs.append(jnp.einsum("swc,wo->soc", F[a:b], G[p],
+                                   precision=jax.lax.Precision.HIGHEST))
+    Y = jnp.concatenate(outs, axis=0)          # (nseg, 2Lm[, C])
+    if C == 1:
+        Y = Y[:, :, None]
+    y1 = Y[:, :Lm].reshape(-1, C)                     # (nseg*Lm, C)
+    y2 = Y[:, Lm:].reshape(-1, C)
     y = y1[gidx] + alpha[:, None].astype(y1.dtype) * y2[gidx]
     return y.reshape((gidx.shape[0],) + xcat.shape[1:])
 
