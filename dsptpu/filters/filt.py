@@ -655,6 +655,12 @@ def _iir_filtfilt(b, a, x):
     zij = jnp.asarray(zi, dtype)
 
     ss = _blockss(*_single_ss(bp, ap))
+    # gate on the ORIGINAL input dtype: the kernel is an f32 fast path
+    # (f32 in -> f32 out, matching TPU no-x64 semantics even when the
+    # host has x64 enabled and result_type would promote)
+    if pad and n >= 4 * ss.V + pad and _pallas_iir_ok(ss, n, flat.dtype):
+        yT = _filtfilt_pallas_v2(ss, np.asarray(zi), xT, pad, n)
+        return restore(_from_T(yT))
     extT = _extrapolate_T(xT, pad)
     y1, _ = _blockss_apply(ss, extT, zij[:, None] * extT[:, 0][None, :],
                            need_state=False, transposed=True)
@@ -680,6 +686,10 @@ def _filtfilt_sos(f, x):
     # ...) to match _stack_cascade (same reshape as _sosfilt)
     ss = _blockss(*_stack_cascade(np.asarray(sos, np.float64), float(g)))
     zi_np = np.swapaxes(filt_stepstate_sos(sos), 0, 1).reshape(2 * nsec)
+    # f32-input gate — see _iir_filtfilt
+    if pad and n >= 4 * ss.V + pad and _pallas_iir_ok(ss, n, flat.dtype):
+        yT = _filtfilt_pallas_v2(ss, zi_np, xT, pad, n)
+        return restore(_from_T(yT))
     zstack = jnp.asarray(zi_np, dtype)
 
     extT = _extrapolate_T(xT, pad)
@@ -692,6 +702,108 @@ def _filtfilt_sos(f, x):
                            reverse=True)
     yT = y2[:, pad: pad + n] if pad else y2
     return restore(_from_T(yT))
+
+
+_ff_tab_cache = {}
+
+
+def _ff_edge_tables(ss, pad, q, tl):
+    """Host tables for the pallas filtfilt's analytic edge handling:
+    forward front-extension absorption (Apad, Kf), reverse absorption
+    of [tail of y1, back-extension outputs] down to the aligned
+    boundary (Aq, Krq), and the closed-form anti-causal outputs over
+    the unaligned tail (Fr, Gr). Derivations mirror the (tested)
+    shard_filtfilt edge tables in parallel/ops."""
+    key = (ss.F.tobytes(), ss.K.tobytes(), ss.G.tobytes(),
+           ss.A.tobytes(), pad, q, tl)
+    hit = _ff_tab_cache.get(key)
+    if hit is not None:
+        return hit
+    p = ss.p
+    A, c, w, d = ss.A, ss.c, ss.G[0], float(ss.F[0, 0])
+    mx = max(pad, q) + 1
+    pw = np.empty((mx, p, p))
+    pw[0] = np.eye(p)
+    for j in range(1, mx):
+        pw[j] = A @ pw[j - 1]
+    Apad = pw[pad]
+    Kf = np.stack([pw[pad - 1 - j] @ c for j in range(pad)], axis=1)
+    Aq = pw[q]
+    Krq = np.stack([pw[j] @ c for j in range(q)], axis=1)
+    # reverse outputs over the unaligned tail [m, n): y2[t] =
+    # d*y1[t] + w' z_before(t), z_before(t) = A^{q-1-i} z0
+    #   + sum_{j>i} A^{j-i-1} c seg[j]  (i = t - m)
+    Gr = (np.stack([w @ pw[q - 1 - i] for i in range(tl)], axis=0)
+          if tl else np.zeros((0, p)))
+    wAc = np.array([w @ (pw[j] @ c) for j in range(q)])
+    Fr = np.zeros((tl, q))
+    for i in range(tl):
+        Fr[i, i] = d
+        if i + 1 < q:
+            Fr[i, i + 1:] = wAc[: q - i - 1]
+    if len(_ff_tab_cache) > 64:
+        _ff_tab_cache.clear()
+    hit = _ff_tab_cache[key] = (Apad, Kf, Aq, Krq, Fr, Gr)
+    return hit
+
+
+def _filtfilt_pallas_v2(ss, zst_np, xT, pad, n):
+    """Zero-copy-glue filtfilt on the fused biir kernel: the front
+    extension folds into the forward pass's initial state (closed
+    form), the back extension rides in the forward pass's alignment
+    pad (no extra copy), and the anti-causal pass starts at the
+    aligned boundary m = 128*floor(n/128) with its entering state and
+    the [m, n) outputs computed analytically from tiny host tables —
+    no ext concat, no pad/slice round trips (each XLA copy of the
+    signal costs more than the filter pass at 1M samples on v5e)."""
+    from ..kernels.biir import blockss_filt_pallas
+    import jax as _jax
+    interp = False
+    try:
+        interp = _jax.devices()[0].platform in ("cpu",)
+    except Exception:
+        interp = True
+    V = ss.V
+    C = xT.shape[0]
+    f32 = jnp.float32
+    xT = xT.astype(f32)
+    m = (n // V) * V
+    q = n - m + pad
+    tl = n - m
+    Apad, Kf, Aq, Krq, Fr, Gr = _ff_edge_tables(ss, pad, q, tl)
+    prec = lax.Precision.HIGHEST
+    zst = jnp.asarray(zst_np, f32)
+
+    # forward: front extension absorbed into z_e
+    front = 2 * xT[:, :1] - xT[:, pad:0:-1]             # (C, pad)
+    z_init = zst[:, None] * front[:, 0][None, :]        # (p, C)
+    z_e = (jnp.asarray(Apad, f32) @ z_init
+           + jnp.einsum("pj,cj->pc", jnp.asarray(Kf, f32), front,
+                        precision=prec))
+    # back extension placed in the alignment pad (reuses the pad copy)
+    TB = 256
+    rows_needed = -(-(n + pad) // V)
+    Bp = -(-rows_needed // TB) * TB
+    back = 2 * xT[:, -1:] - jnp.flip(xT[:, n - 1 - pad: n - 1], -1)
+    tail = jnp.concatenate(
+        [back, jnp.zeros((C, Bp * V - n - pad), f32)], axis=1)
+    xe = jnp.concatenate([xT, tail], axis=1)            # (C, Bp*V)
+    y1 = blockss_filt_pallas(ss, xe, z_e, TB=TB, interpret=interp,
+                             transposed=True, full_output=True)
+    # reverse: absorb [y1[m:n], back-ext outputs] analytically, then
+    # run the kernel over the aligned first m samples only
+    seg = y1[:, m: n + pad]                             # (C, q) tiny
+    z0r = zst[:, None] * y1[:, n + pad - 1][None, :]
+    z_rr = (jnp.asarray(Aq, f32) @ z0r
+            + jnp.einsum("pj,cj->pc", jnp.asarray(Krq, f32), seg,
+                         precision=prec))
+    y2main = blockss_filt_pallas(ss, y1, z_rr, TB=TB, interpret=interp,
+                                 transposed=True, reverse=True,
+                                 n_eff=m, full_output=True)
+    y2tail = (jnp.einsum("ij,cj->ci", jnp.asarray(Fr, f32), seg,
+                         precision=prec)
+              + (jnp.asarray(Gr, f32) @ z0r).T)
+    return jnp.concatenate([y2main[:, :m], y2tail], axis=1)
 
 
 # ---------------------------------------------------------------------------

@@ -58,7 +58,7 @@ def _pad128(m):
 
 
 def _kernel(x_ref, z0_ref, ft_ref, kt_ref, gt_ref, a1t_ref, apow_ref,
-            o_ref, carry, *, TB, nsteps, prec, reverse):
+            o_ref, carry, *, TB, nsteps, prec, reverse, edge_row=None):
     """Grid (C, nchunks). x_ref block: (1, TB, 128) rows; z0_ref block
     (1, 1, 128) — 3-D so the per-channel block keeps its trailing dims
     equal to the full array dims (Mosaic blockspec rule for C > 1);
@@ -74,6 +74,16 @@ def _kernel(x_ref, z0_ref, ft_ref, kt_ref, gt_ref, a1t_ref, apow_ref,
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=prec)
     X = x_ref[0]                                       # (TB, 128)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0)
+    if reverse and edge_row is not None and edge_row != TB - 1:
+        # mid-array injection (filtfilt v2): the first processed chunk
+        # enters at row edge_row; its later rows are past the valid
+        # region and masked to zero so the suffix scan passes the
+        # injected state through untouched
+        X = jnp.where((b == 0) & (rows > edge_row), 0.0, X)
+        edge = jnp.where(b == 0, edge_row, TB - 1)
+    else:
+        edge = TB - 1 if reverse else 0
 
     @pl.when(b == 0)
     def _():
@@ -84,8 +94,6 @@ def _kernel(x_ref, z0_ref, ft_ref, kt_ref, gt_ref, a1t_ref, apow_ref,
     # fold the entering state into the first-processed row:
     # u_edge += A @ z_carry
     cin = dot(zc, a1t_ref[:])                          # (1, 128)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0)
-    edge = TB - 1 if reverse else 0
     U = U + jnp.where(rows == edge, jnp.broadcast_to(cin, (TB, _V)), 0.0)
     # inclusive scan: prefix z_r = sum_{i<=r} A^{r-i} u_i, or suffix
     # z_r = sum_{i>=r} A^{i-r} u_i for the anti-causal pass
@@ -117,11 +125,13 @@ def _kernel(x_ref, z0_ref, ft_ref, kt_ref, gt_ref, a1t_ref, apow_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("TB", "precision",
-                                             "interpret", "reverse"))
+                                             "interpret", "reverse",
+                                             "nchunks", "edge_row"))
 def _biir_jit(xrows, z0, ft, kt, gt, a1t, apow, TB, precision, interpret,
-              reverse=False):
+              reverse=False, nchunks=None, edge_row=None):
     C, Bp, _ = xrows.shape
-    nchunks = Bp // TB
+    if nchunks is None:
+        nchunks = Bp // TB
     nsteps = apow.shape[0]       # may be truncated below log2(TB) —
     # see _dev_tables adaptive scan depth
     prec = {"highest": jax.lax.Precision.HIGHEST,
@@ -133,8 +143,9 @@ def _biir_jit(xrows, z0, ft, kt, gt, a1t, apow, TB, precision, interpret,
         chunk_map = lambda c, b: (c, b, 0)
     return pl.pallas_call(
         functools.partial(_kernel, TB=TB, nsteps=nsteps, prec=prec,
-                          reverse=reverse),
-        out_shape=jax.ShapeDtypeStruct((C, Bp, _V), jnp.float32),
+                          reverse=reverse, edge_row=edge_row),
+        out_shape=jax.ShapeDtypeStruct((C, nchunks * TB, _V),
+                                       jnp.float32),
         grid=(C, nchunks),
         in_specs=[
             pl.BlockSpec((1, TB, _V), chunk_map,
@@ -210,14 +221,22 @@ def _dev_tables(ss, TB, reverse=False):
 
 def blockss_filt_pallas(ss, x, z0, TB=256, precision="highest",
                         interpret=False, transposed=False,
-                        reverse=False):
+                        reverse=False, n_eff=None, full_output=False):
     """Apply the block state-space system `ss` (filters.filt._BlockSS,
     V=128) over x (n, C) f32 — or (C, n) lane-major with
     transposed=True, returning (C, n) — with initial state z0 (p, C).
     The final state is not produced (use the XLA path for streaming
     continuation). reverse=True runs the anti-causal pass
     rev(apply(rev(x))) with z0 entering from the right — no data flip
-    is materialized (see filters.filt._blockss_apply)."""
+    is materialized (see filters.filt._blockss_apply).
+
+    n_eff (reverse only, multiple of 128): process only the first
+    n_eff samples, injecting z0 at sample n_eff-1 — rows past n_eff
+    are never read as data (filtfilt v2 absorbs the edge extension
+    analytically and starts the anti-causal pass at an aligned
+    boundary inside the array, avoiding any pad/slice copy).
+    full_output=True returns the whole padded (C, chunks*TB*128)
+    row buffer unsliced (caller indexes into it)."""
     x = jnp.asarray(x)
     if transposed:
         C, n = x.shape
@@ -226,21 +245,41 @@ def blockss_filt_pallas(ss, x, z0, TB=256, precision="highest",
         n, C = x.shape
         xT = x.T                                           # (C, n)
     p = ss.p
-    B = -(-n // _V)
-    nchunks = -(-B // TB)
-    Bp = nchunks * TB
-    npad = Bp * _V - n
-    if npad:
-        # pad on the side processed LAST so the pad never sits between
-        # z0 and the true signal
-        xT = jnp.pad(xT, ((0, 0), (npad, 0) if reverse else (0, npad)))
-    xrows = xT.reshape(C, Bp, _V)
+    edge_row = None
+    if n_eff is not None:
+        assert reverse and n_eff % _V == 0 and n_eff <= n
+        mrows = n_eff // _V
+        nchunks = -(-mrows // TB)
+        edge_row = (mrows - 1) % TB
+        B = -(-n // _V)
+        if n % _V:
+            xT = jnp.pad(xT, ((0, 0), (0, B * _V - n)))
+        if B < nchunks * TB:
+            xT = jnp.pad(xT, ((0, 0), (0, (nchunks * TB - B) * _V)))
+            B = nchunks * TB
+        xrows = xT.reshape(C, B, _V)
+    else:
+        B = -(-n // _V)
+        nchunks = -(-B // TB)
+        Bp = nchunks * TB
+        npad = Bp * _V - n
+        if npad:
+            # pad on the side processed LAST so the pad never sits
+            # between z0 and the true signal
+            xT = jnp.pad(xT, ((0, 0),
+                              (npad, 0) if reverse else (0, npad)))
+        xrows = xT.reshape(C, Bp, _V)
     z0p = jnp.zeros((C, _V), jnp.float32).at[:, :p].set(
         jnp.asarray(z0).T).reshape(C, 1, _V)
     ft, kt, gt, a1t, apow = (jnp.asarray(t)
                              for t in _dev_tables(ss, TB, reverse))
     y = _biir_jit(xrows, z0p, ft, kt, gt, a1t, apow, TB, precision,
-                  interpret, reverse)
-    y = y.reshape(C, Bp * _V)
-    y = y[:, npad:] if reverse else y[:, :n]
+                  interpret, reverse, nchunks=nchunks, edge_row=edge_row)
+    y = y.reshape(C, nchunks * TB * _V)
+    if full_output:
+        return y
+    if n_eff is not None:
+        y = y[:, :n_eff]
+    else:
+        y = y[:, nchunks * TB * _V - n:] if reverse else y[:, :n]
     return y if transposed else y.T
