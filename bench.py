@@ -266,10 +266,27 @@ def main():
 
     t_dev = _timeit(poly_dev, x4j, k=64)
     t_cpu = _cpu_time(lambda: sp.resample_poly(x4[: n4 // 8], 147, 160)) * 8
+    # kernel-utilization FLOPs model matches whichever path runs: the
+    # pfb2 Pallas kernel does D (S,128)@(128,128) lane-mixing matmuls
+    # per output-row class (2*128*D FLOPs/output); the XLA block
+    # matmul does W4 taps+carry rows per output
     W4 = -(-len(h4) // 147) + 1  # taps/phase + carry row
+    poly_flops = 2.0 * n4 * (147 / 160) * W4
+    try:
+        from dsptpu.kernels.pfb2 import pfb2_supported, pfb2_plan
+        from dsptpu.filters.stream_filt import taps2pfb
+        if on_tpu and pfb2_supported(147, 160, -(-len(h4) // 147),
+                                     np.float32):
+            sf.reset()
+            k4 = sf.kernel
+            plan4 = pfb2_plan(taps2pfb(h4, 147), 147, 160,
+                              k4.phi_idx, k4.input_deficit)
+            poly_flops = 2.0 * n4 * (147 / 160) * 128 * plan4.D
+    except Exception:
+        pass
     record("resample_147_160", n4, t_dev, t_cpu,
            min_bytes=int(4 * n4 * (1 + 147 / 160)),
-           flops=2.0 * n4 * (147 / 160) * W4 * 1,
+           flops=poly_flops,
            flops_min=2.0 * n4 * (147 / 160) * (len(h4) / 147))
     # BASELINE config 4 also names the 3//2 rate (48k -> 32k family)
     h4b = np.asarray(dsptpu.resample_filter(Fraction(3, 2))).astype(dtype)

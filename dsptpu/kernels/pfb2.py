@@ -88,7 +88,7 @@ class _Pfb2Plan:
     """Host geometry + tables for one (pfb, L, M, phi0, deficit)."""
 
     __slots__ = ("k", "P_in", "O_r", "D", "tab", "r_lo", "L", "M",
-                 "taps", "CG")
+                 "taps", "CG", "tab_dev")
 
     def __init__(self, pfb, L, M, phi0, deficit):
         taps, nphi = pfb.shape
@@ -128,6 +128,7 @@ class _Pfb2Plan:
         while O_r % cg:
             cg -= 1
         self.CG = cg
+        self.tab_dev = None      # device copy, uploaded once on use
 
 
 _plan_cache = {}
@@ -283,7 +284,13 @@ def pfb2_resample_pallas(x, pfb, L, M, phi0, deficit, out_len,
     S = max(2, min(S, nsuper))
     nst = -(-nsuper // S)
     r_lo_t = tuple(int(v) for v in plan.r_lo)
-    tab = jnp.asarray(plan.tab.reshape(O_r * D * 128, 128))
+    # upload the (multi-MB) tap table once per plan, not per call —
+    # a fresh host->device transfer of the table can cost more than
+    # the kernel (round-2 G-cache lesson, stream_filt._block_args)
+    if plan.tab_dev is None:
+        plan.tab_dev = jax.device_put(
+            plan.tab.reshape(O_r * D * 128, 128))
+    tab = plan.tab_dev
     out = _pfb2_jit(x2, tab, S, P_in, O_r, D, CG, r_lo_t, nst,
                     precision, interpret)
     return out.reshape(-1)[:out_len]
