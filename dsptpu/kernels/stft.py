@@ -172,16 +172,18 @@ def _kernel(q_hbm, w2re, wp, o_ref, scratch, sem, *,
 
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=prec)
-    planes = [scratch[slot, j1 % hr, j1 // hr: j1 // hr + TB, :]
-              * wp[j1, :][None, :] for j1 in range(N1)]
+    K = wp.shape[0]        # window planes (K > 1: multitaper — the
+    #                        signal is read ONCE for all tapers)
+    raw_planes = [scratch[slot, j1 % hr, j1 // hr: j1 // hr + TB, :]
+                  for j1 in range(N1)]
     if accum and valid_last != TB:
         # zero frames past the true frame count in the last block; a
         # zeroed frame contributes nothing to the PSD sum
         fid = jax.lax.broadcasted_iota(jnp.int32, (TB, 128), 0)
         keep = (b < nblocks - 1) | (fid < valid_last)
-        planes = [jnp.where(keep, p, 0.0) for p in planes]
-    fft_rows = _stage1_fft(planes, N1) if N1 & (N1 - 1) == 0 else None
-    def stage1(k1):
+        raw_planes = [jnp.where(keep, p, 0.0) for p in raw_planes]
+
+    def stage1(planes, k1):
         """First-stage DFT row k1 as tile adds; +-1 coefficients fold
         into adds/subs (most of W_N1 is 0/+-1/+-i)."""
         bre = None
@@ -215,27 +217,38 @@ def _kernel(q_hbm, w2re, wp, o_ref, scratch, sem, *,
     # in-kernel twiddle combine used to cost 6 VMEM tile ops per k1
     # row, ~30% of the whole pass (the kernel is VMEM-BW-bound on tile
     # ops, not MXU-bound).
-    cache = {}
-    for k1 in range(rows):
-        mirrored = k1 > N1 // 2
-        if not mirrored:
-            if fft_rows is not None:
-                r, i = fft_rows[k1]
-                zero = lambda: jnp.zeros((TB, 128), jnp.float32)
-                bre = r if r is not None else zero()
-                bim = i if i is not None else zero()
+    acc = [None] * rows
+    for k in range(K):
+        planes = [raw_planes[j1] * wp[k, j1, :][None, :]
+                  for j1 in range(N1)]
+        fft_rows = (_stage1_fft(planes, N1)
+                    if N1 & (N1 - 1) == 0 else None)
+        cache = {}
+        for k1 in range(rows):
+            mirrored = k1 > N1 // 2
+            if not mirrored:
+                if fft_rows is not None:
+                    r, i = fft_rows[k1]
+                    zero = lambda: jnp.zeros((TB, 128), jnp.float32)
+                    bre = r if r is not None else zero()
+                    bim = i if i is not None else zero()
+                else:
+                    bre, bim = stage1(planes, k1)
+                cache[k1] = (bre, bim)
             else:
-                bre, bim = stage1(k1)
-            cache[k1] = (bre, bim)
-        else:
-            bre, bim = cache[N1 - k1]
-        # paired RHS [Mre | Mim] (128, 256): TWO N=256 matmuls instead
-        # of four N=128 — halves MXU weight loads for the same FLOPs
-        P1 = dot(bre, w2re[k1])                     # (TB, 256)
-        P2 = dot(bim, w2re[k1])
-        dre = P1[:, :128] - P2[:, 128:]
-        dim = P1[:, 128:] + P2[:, :128]
-        pw = dre * dre + dim * dim                  # (TB, 128)
+                bre, bim = cache[N1 - k1]
+            # paired RHS [Mre | Mim] (128, 256): TWO N=256 matmuls
+            # instead of four N=128 — halves MXU weight loads for the
+            # same FLOPs
+            P1 = dot(bre, w2re[k1])                     # (TB, 256)
+            P2 = dot(bim, w2re[k1])
+            dre = P1[:, :128] - P2[:, 128:]
+            dim = P1[:, 128:] + P2[:, :128]
+            pw = dre * dre + dim * dim                  # (TB, 128)
+            acc[k1] = pw if acc[k1] is None else acc[k1] + pw
+
+    for k1 in range(rows):
+        pw = acc[k1]
         if accum:
             row = jnp.sum(pw, axis=0, keepdims=True)    # (1, 128)
 
@@ -256,22 +269,29 @@ def stft_pow_pallas(x, win, nfft, hop, nframes, accumulate=False,
     """Fused windowed-segment power spectra on TPU.
 
     x: (n,) or (n, C) real f32 signal (time-major); win: (nfft,) HOST
-    numpy window (design-time constant) or None; frames start at b*hop,
-    b < nframes. Returns DFT bin powers in the four-step tile layout
-    (see bins_from_tile):
-      accumulate=False: (C, nframes, N1, 128) per-frame |X|^2, or the
-        raw 5-D block layout (C, nblocks, N1, TB, 128) when raw=True
-        (caller collapses the block/frame reordering into its own final
-        transpose instead of paying one here)
+    numpy window (design-time constant), (K, nfft) stacked windows
+    (multitaper: the signal is read once, per-window |DFT|^2 summed
+    in-kernel — fold any per-taper weight into the window as
+    win_k/sqrt(r_k), reference multitaper.jl:237-240), or None; frames
+    start at b*hop, b < nframes. Returns DFT bin powers in the
+    four-step tile layout (see bins_from_tile):
+      accumulate=False: (C, nframes, N1, 128) per-frame |X|^2 (summed
+        over the K windows), or the raw 5-D block layout
+        (C, nblocks, N1, TB, 128) when raw=True (caller collapses the
+        block/frame reordering into its own final transpose instead of
+        paying one here)
       accumulate=True:  (C, rows, 128) sum over frames (Welch
         numerator), rows = N1//2+1 when onesided (use
         onesided_bins_from_tile) else N1
     """
     N1 = nfft // 128
-    wp = (np.asarray(win, np.float64).reshape(N1, 128) if win is not None
-          else np.ones((N1, 128))).astype(np.float32)
-    return _stft_pow_jit(x, jnp.asarray(wp), nfft, hop, nframes,
-                         accumulate, precision, TB,
+    if win is None:
+        wp = np.ones((1, N1, 128))
+    else:
+        wa = np.asarray(win, np.float64)
+        wp = wa.reshape((-1, N1, 128) if wa.ndim == 2 else (1, N1, 128))
+    return _stft_pow_jit(x, jnp.asarray(wp.astype(np.float32)), nfft,
+                         hop, nframes, accumulate, precision, TB,
                          bool(onesided and accumulate), raw, interpret)
 
 
@@ -339,7 +359,7 @@ def _stft_pow_jit(x, wp, nfft, hop, nframes, accumulate,
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((rows, 128, 256), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N1, 128), lambda i: (0, 0),
+            pl.BlockSpec((wp.shape[0], N1, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,

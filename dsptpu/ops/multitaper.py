@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .windows import dpss, dpsseig
@@ -231,13 +232,54 @@ def mt_spectrogram(s, n=None, n_overlap=None, fs=1.0, nfft=None, nw=4,
     if hop <= 0:
         raise ValueError("need n > n_overlap")
     nseg = _num_segments(nsamples, n, n_overlap)
+    t = (np.arange(nseg) * hop + n / 2) / config.fs
+    from .periodograms import _pallas_stft_ok
+    if _pallas_stft_ok(s, n, config.nfft, hop):
+        return Spectrogram(_pallas_mt_spec(s, n, n_overlap, config),
+                           config.freq, t)
     from .periodograms import arraysplit
     frames = arraysplit(s, n, n_overlap)              # (nseg, n, *chans)
     frames = jnp.moveaxis(frames, 1, -1)              # (nseg, *chans, n)
     p = _mt_power(frames, config)                     # (nseg, *chans, nfreq)
     p = jnp.moveaxis(p, -1, 0)                        # (nfreq, nseg, *chans)
-    t = (np.arange(nseg) * hop + n / 2) / config.fs
     return Spectrogram(p, config.freq, t)
+
+
+def _pallas_mt_spec(s, n, n_overlap, config):
+    """Fused multitaper spectrogram: ONE pass of the windowed-segment
+    kernel with all K taper planes — the signal is read once, each
+    frame is windowed by every taper in VMEM, and the per-taper
+    |DFT|^2 are summed in-kernel with the 1/r_k weights folded into
+    the taper planes (|F_k|^2 / r_k == |F of (w_k/sqrt(r_k))*seg|^2;
+    reference per-taper loop multitaper.jl:237-240). Returns
+    (nfreq, nseg, *chans)."""
+    from ..kernels.stft import stft_pow_pallas
+    nfft, hop = config.nfft, n - n_overlap
+    nseg = _num_segments(s.shape[0], n, n_overlap)
+    flat = s.reshape(s.shape[0], -1)
+    win = config.window_array                          # (n, ntapers)
+    r = np.asarray(config.r, np.float64)
+    W = np.zeros((win.shape[1], nfft))
+    W[:, :n] = (win / np.sqrt(r)).T
+    try:
+        interp = jax.devices()[0].platform in ("cpu",)
+    except Exception:
+        interp = True
+    TB = min(512, -(-nseg // 8) * 8)
+    tile = stft_pow_pallas(flat, W, nfft, hop, nseg, accumulate=False,
+                           raw=True, TB=TB, interpret=interp)
+    C, nblocks, N1, TBk, _ = tile.shape
+    nbins = nfft // 2 + 1 if config.onesided else nfft
+    l2 = (nbins - 1) // N1 + 1
+    pw = jnp.transpose(tile[..., :l2], (4, 2, 1, 3, 0))
+    pw = pw.reshape(l2 * N1, nblocks * TBk, C)[:nbins, :nseg]
+    if config.onesided:
+        scale = np.ones(nbins)
+        scale[1:] = 2.0
+        if nfft % 2 == 0:
+            scale[-1] = 1.0
+        pw = pw * jnp.asarray(scale, pw.dtype)[:, None, None]
+    return pw.reshape((nbins, nseg) + s.shape[1:])
 
 
 @dataclass(frozen=True)

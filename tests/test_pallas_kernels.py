@@ -101,6 +101,50 @@ class TestSTFTKernel:
         np.testing.assert_allclose(np.asarray(sg.power), S, rtol=1e-4,
                                    atol=1e-5 * S.max())
 
+    def test_multi_window_kernel_vs_singles(self):
+        """K stacked windows must equal the sum of K single-window
+        calls (in-kernel multitaper accumulation)."""
+        from dsptpu.kernels.stft import stft_pow_pallas
+        n, nfft, hop = 6000, 512, 256
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        k = (n - nfft) // hop + 1
+        wins = np.stack([np.hanning(nfft), np.hamming(nfft),
+                         np.blackman(nfft)]).astype(np.float32)
+        got = np.asarray(stft_pow_pallas(x, wins, nfft, hop, k,
+                                         accumulate=False, TB=8,
+                                         interpret=True))
+        want = sum(np.asarray(stft_pow_pallas(x, w, nfft, hop, k,
+                                              accumulate=False, TB=8,
+                                              interpret=True))
+                   for w in wins)
+        np.testing.assert_allclose(got, want, rtol=1e-5,
+                                   atol=1e-4 * want.max())
+
+    def test_mt_spectrogram_forced_pallas(self, monkeypatch):
+        """Fused multitaper spectrogram path vs the XLA taper loop."""
+        import dsptpu.ops.periodograms as pmod
+        import dsptpu.ops.multitaper as mtmod
+        from dsptpu.ops.multitaper import mt_spectrogram, dpss_config
+        x = rng.standard_normal((30000, 3)).astype(np.float32)
+        cfg = dpss_config(1024, nw=4, fs=1000.0, nfft=1024,
+                          weight_by_evals=True)
+        monkeypatch.setattr(pmod, "_PALLAS_STFT", False)
+        want = mt_spectrogram(jnp.asarray(x), config=cfg,
+                              n_overlap=512)
+        monkeypatch.setattr(pmod, "_PALLAS_STFT", True)
+        calls = []
+        orig = mtmod._pallas_mt_spec
+        monkeypatch.setattr(mtmod, "_pallas_mt_spec",
+                            lambda *a, **kw: (calls.append(1),
+                                              orig(*a, **kw))[1])
+        got = mt_spectrogram(jnp.asarray(x), config=cfg, n_overlap=512)
+        assert calls, "pallas mt path was not taken"
+        wp = np.asarray(want.power)
+        np.testing.assert_allclose(np.asarray(got.power), wp,
+                                   rtol=1e-4, atol=1e-5 * wp.max())
+        np.testing.assert_allclose(got.freq, want.freq)
+        np.testing.assert_allclose(got.time, want.time)
+
 
 class TestBiirKernel:
     def test_matches_xla_blockss(self):
