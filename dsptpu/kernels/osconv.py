@@ -149,8 +149,9 @@ def _kernel(x1, x0, w1re, w1im, twre, twim, w2re, w2im, hre, him,
 
 @functools.partial(jax.jit,
                    static_argnames=("nfft", "nv", "nout", "Q",
-                                    "interpret"))
-def _osconv_jit(u, vp, nfft, nv, nout, Q, interpret):
+                                    "interpret", "precision"))
+def _osconv_jit(u, vp, nfft, nv, nout, Q, interpret,
+                precision="highest"):
     """u: (n, C) real f32 with n % 128 == 0; vp: (nfft,) f32
     zero-padded filter. Returns (nout, C) f32, the first nout samples
     of the linear convolution."""
@@ -191,9 +192,12 @@ def _osconv_jit(u, vp, nfft, nv, nout, Q, interpret):
     RO = -(-nout // 128)
     const = lambda shape: pl.BlockSpec(shape, lambda c, p: (0, 0),
                                        memory_space=pltpu.VMEM)
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
     out = pl.pallas_call(
         functools.partial(_kernel, N1=N1, hr=hr, srow=srow, Q=Q, A=A,
-                          nrows=nrows, prec=jax.lax.Precision.HIGHEST),
+                          nrows=nrows, prec=prec),
         out_shape=jax.ShapeDtypeStruct((C, RO, 128), jnp.float32),
         grid=(C, steps),
         in_specs=[
@@ -216,7 +220,8 @@ def _osconv_jit(u, vp, nfft, nv, nout, Q, interpret):
     return y.T
 
 
-def osconv_pallas(u, v, nfft, interpret=False, Q=4, out_len=None):
+def osconv_pallas(u, v, nfft, interpret=False, Q=4, out_len=None,
+                 precision="highest"):
     """Fused overlap-save convolution: u (n,) or (n, C) real f32 long
     input, v (nv,) real f32 filter. Returns the first
     out_len (default n + nv - 1, the full linear convolution) samples,
@@ -235,5 +240,5 @@ def osconv_pallas(u, v, nfft, interpret=False, Q=4, out_len=None):
         u2 = jnp.pad(u2, ((0, 128 - n % 128), (0, 0)))
     vp = jnp.pad(v.astype(jnp.float32), (0, nfft - nv))
     y = _osconv_jit(u2.astype(jnp.float32), vp, int(nfft), nv,
-                    int(nout), int(Q), bool(interpret))
+                    int(nout), int(Q), bool(interpret), precision)
     return y[:, 0] if vec else y
