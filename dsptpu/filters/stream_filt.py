@@ -859,14 +859,19 @@ class FIRFilter:
                 if dcache is None or dcache[0] != dkey:
                     k._g_dev = dcache = (dkey, jnp.asarray(G, gdt))
                 Gd = dcache[1]
-                if USE_PALLAS and x.ndim == 1 \
+                from ..ops.dspbase import _pallas_os_state
+                use_k, interp = _pallas_os_state()
+                # the opt-in old pfb kernel obeys the runtime kill
+                # switch too: with _PALLAS_OS forced False the state
+                # is (False, *) and its interp value is meaningless —
+                # running the kernel anyway used to crash on CPU
+                # (interpret=False on the cpu backend)
+                if USE_PALLAS and use_k and x.ndim == 1 \
                         and not jnp.iscomplexobj(x) \
                         and not jnp.iscomplexobj(Gd):
                     from ..kernels.pfb import pfb_block_filt_pallas
-                    from ..ops.dspbase import _pallas_os_state
                     xcat = jnp.concatenate([self.history, x], axis=0) \
                         if self.history_len else x
-                    _, interp = _pallas_os_state()
                     y = pfb_block_filt_pallas(xcat, Gd, s0=s0, B=B, M=M,
                                               W=W,
                                               interpret=interp)[:out_len]

@@ -145,7 +145,8 @@ def pfb2_plan(pfb, L, M, phi0, deficit):
     return hit
 
 
-def _make_kernel(S, P_in, O_r, D, CG, r_lo, prec, R_sig):
+def _make_kernel(S, P_in, O_r, D, CG, r_lo, prec, R_sig,
+                 resident=False):
     """Kernel body with all class geometry baked as python constants.
     Args: xa (S*P_in, 128) input tile, xprev/xnext (1, 8, 128) side
     views, tab_hbm (O_r*D*128, 128) flat tables in HBM, o_ref
@@ -153,11 +154,13 @@ def _make_kernel(S, P_in, O_r, D, CG, r_lo, prec, R_sig):
     after the signal end (absolute row >= R_sig) are zero-masked: the
     last partial output row mixes valid and past-the-end lanes, and an
     unmasked OOB read would poison the valid lanes through the
-    lane-mixing matmul."""
+    lane-mixing matmul. With resident=True the whole table rides in
+    VMEM as a constant block (small ratios — no DMA machinery) and the
+    kernel takes no scratch/sem args."""
     ngrp = O_r // CG
     rows_g = CG * D * 128
 
-    def kern(xa, xprev, xnext, tab_hbm, o_ref, scratch, sem):
+    def kern(xa, xprev, xnext, tab_hbm, o_ref, scratch=None, sem=None):
         st = pl.program_id(0)
         dot = functools.partial(jnp.dot,
                                 preferred_element_type=jnp.float32,
@@ -175,22 +178,28 @@ def _make_kernel(S, P_in, O_r, D, CG, r_lo, prec, R_sig):
                 tab_hbm.at[pl.ds(g * rows_g, rows_g), :],
                 scratch.at[slot], sem.at[slot]).start()
 
-        start_copy(0, 0)
+        if not resident:
+            start_copy(0, 0)
         for g in range(ngrp):
             slot = g % 2
-            if g + 1 < ngrp:
-                start_copy(g + 1, (g + 1) % 2)
-            pltpu.make_async_copy(
-                tab_hbm.at[pl.ds(g * rows_g, rows_g), :],
-                scratch.at[slot], sem.at[slot]).wait()
+            if not resident:
+                if g + 1 < ngrp:
+                    start_copy(g + 1, (g + 1) % 2)
+                pltpu.make_async_copy(
+                    tab_hbm.at[pl.ds(g * rows_g, rows_g), :],
+                    scratch.at[slot], sem.at[slot]).wait()
             for ci in range(CG):
                 c = g * CG + ci
                 r0c = r_lo[c]
                 acc = None
                 for d in range(D):
                     rr = r0c + d
-                    T = scratch[slot, (ci * D + d) * 128:
-                                (ci * D + d + 1) * 128, :]
+                    if resident:
+                        T = tab_hbm[(c * D + d) * 128:
+                                    (c * D + d + 1) * 128, :]
+                    else:
+                        T = scratch[slot, (ci * D + d) * 128:
+                                    (ci * D + d + 1) * 128, :]
                     if rr < 0:
                         # supers 1..S-1 read in-tile rows
                         # (P_in+rr) + P_in*(s-1); super 0 reads the
@@ -237,7 +246,11 @@ def _pfb2_jit(x2, tab, S, P_in, O_r, D, CG, r_lo_t, nst, precision,
     x8 = x2[: R8 * 8].reshape(R8, 8, 128)
     tile_rows = S * P_in
     t8 = tile_rows // 8
-    kern = _make_kernel(S, P_in, O_r, D, CG, r_lo_t, prec, R)
+    # small tables ride whole in VMEM (no DMA machinery): saves the
+    # per-tile group streaming for the common small-ratio kernels
+    resident = O_r * D * 128 * 128 * 4 <= (4 << 20)
+    kern = _make_kernel(S, P_in, O_r, D, CG, r_lo_t, prec, R,
+                        resident=resident)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((nst * S * O_r, 128),
@@ -253,14 +266,16 @@ def _pfb2_jit(x2, tab, S, P_in, O_r, D, CG, r_lo_t, nst, precision,
                          lambda st: (jnp.minimum(
                              (st + 1) * t8, R8 - 1), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            (pl.BlockSpec((O_r * D * 128, 128), lambda st: (0, 0),
+                          memory_space=pltpu.VMEM) if resident
+             else pl.BlockSpec(memory_space=pltpu.HBM)),
         ],
         out_specs=pl.BlockSpec((S * O_r, 128), lambda st: (st, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
+        scratch_shapes=([] if resident else [
             pltpu.VMEM((2, CG * D * 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]),
         interpret=interpret,
     )(x2, x8, x8, tab)
     return out
