@@ -176,12 +176,17 @@ def _kernel(q_hbm, w2re, wp, o_ref, scratch, sem, *,
     #                        signal is read ONCE for all tapers)
     raw_planes = [scratch[slot, j1 % hr, j1 // hr: j1 // hr + TB, :]
                   for j1 in range(N1)]
+    keep = None
     if accum and valid_last != TB:
-        # zero frames past the true frame count in the last block; a
-        # zeroed frame contributes nothing to the PSD sum
+        # frames past the true frame count in the last block must not
+        # contribute to the PSD sum. Frames are SUBLANES and stay
+        # sublane-independent through the window/stage-1/stage-2
+        # pipeline (matmuls mix lanes only), so the mask applies as
+        # one multiplier per k1 row at the reduce instead of a select
+        # per input plane (N1 + iota ops on every grid step)
         fid = jax.lax.broadcasted_iota(jnp.int32, (TB, 128), 0)
-        keep = (b < nblocks - 1) | (fid < valid_last)
-        raw_planes = [jnp.where(keep, p, 0.0) for p in raw_planes]
+        keep = jnp.where((b < nblocks - 1) | (fid < valid_last),
+                         1.0, 0.0)
 
     def stage1(planes, k1):
         """First-stage DFT row k1 as tile adds; +-1 coefficients fold
@@ -250,6 +255,8 @@ def _kernel(q_hbm, w2re, wp, o_ref, scratch, sem, *,
     for k1 in range(rows):
         pw = acc[k1]
         if accum:
+            if keep is not None:
+                pw = pw * keep
             row = jnp.sum(pw, axis=0, keepdims=True)    # (1, 128)
 
             @pl.when(b == 0)
