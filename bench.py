@@ -145,7 +145,7 @@ def main():
     extra = {"roofline": {}}
 
     def record(name, nsamples, t_dev, t_cpu, min_bytes=None, flops=None,
-               flops_min=None):
+               flops_min=None, passes=F32_PASSES):
         """Dual FLOPs accounting: `flops` counts the matmuls the kernel
         actually issues (kernel *utilization* vs the MXU peak);
         `flops_min` counts the algorithmic minimum for the operation
@@ -164,14 +164,22 @@ def main():
         if flops is not None and on_tpu:
             # issued matmul FLOPs vs the f32-effective MXU peak
             rl["mxu_frac"] = round((flops / t_dev)
-                                   / (MXU_BF16 / F32_PASSES), 4)
+                                   / (MXU_BF16 / passes), 4)
             rl["tflops"] = round(flops / t_dev / 1e12, 2)
             roof += (f", {100*rl['mxu_frac']:.0f}% MXU roofline "
                      f"({rl['tflops']:.1f} f32-TFLOP/s)")
         if flops_min is not None and on_tpu:
             rl["alg_min_frac"] = round((flops_min / t_dev)
-                                       / (MXU_BF16 / F32_PASSES), 4)
+                                       / (MXU_BF16 / passes), 4)
             roof += f", {100*rl['alg_min_frac']:.0f}% algorithmic-min"
+        if min_bytes is not None and flops is not None and on_tpu:
+            # roofline ATTAINMENT: floor time = max(MXU time of the
+            # issued FLOPs, HBM time of the minimum traffic); a kernel
+            # at its roofline saturates whichever bound binds
+            t_floor = max(flops / (MXU_BF16 / passes),
+                          min_bytes / HBM_BW)
+            rl["attainment"] = round(t_floor / t_dev, 4)
+            roof += f", {100*rl['attainment']:.0f}% roofline attainment"
         if rl:
             extra["roofline"][name] = rl
         _log(f"{name}: {sps/1e6:.1f} MS/s  (vs scipy x{ratios[name]:.1f}"

@@ -7,7 +7,7 @@ from .design import (Butterworth, Chebyshev1, Chebyshev2, Elliptic,
                      analogfilter, digitalfilter, bilinear, transform_prototype,
                      iirnotch, kaiserord, FIRWindow, resample_filter)
 from .filt import (filt, sosfilt, DF2TFilter, filtfilt, fftfilt, tdfilt,
-                   filt_stepstate, filt_stepstate_sos)
+                   filt_stepstate, filt_stepstate_sos, sos_arrays)
 from .stream_filt import (FIRFilter, taps2pfb, resample, polyphase_filt,
                           outputlength, inputlength, timedelay)
 from .response import freqresp, phaseresp, grpdelay, impresp, stepresp

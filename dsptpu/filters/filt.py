@@ -411,15 +411,19 @@ def _companion_powers(ap, n):
 # SOS filtering
 # ---------------------------------------------------------------------------
 
-def _sos_arrays(f):
+def sos_arrays(f):
     """Accept SecondOrderSections | Biquad | (nsec, 5) array; return
-    ((nsec, 5) ndarray, gain)."""
+    ((nsec, 5) ndarray, gain). Public adapter for APIs that take the
+    raw section matrix + gain (e.g. the dsptpu.parallel sharded ops)."""
     if isinstance(f, SecondOrderSections):
         return f.sos_array(), f.g
     if isinstance(f, Biquad):
         return np.array([[f.b0, f.b1, f.b2, f.a1, f.a2]]), 1.0
     arr = np.asarray(f, dtype=np.float64).reshape(-1, 5)
     return arr, 1.0
+
+
+_sos_arrays = sos_arrays
 
 
 def _sosfilt(sos, g, x, si, need_state=True):
