@@ -463,3 +463,11 @@ class TestFiltfiltPallasV2:
         # compare the interior
         np.testing.assert_allclose(got[100:-100], want[100:-100],
                                    atol=5e-5)
+
+
+@pytest.mark.parametrize("shape", [(1024, 512), (1000, 300), (513, 2048)])
+def test_transpose2d_pallas(shape):
+    from dsptpu.kernels.transpose import transpose2d_pallas
+    x = rng.standard_normal(shape).astype(np.float32)
+    y = np.asarray(transpose2d_pallas(jnp.asarray(x), interpret=True))
+    np.testing.assert_array_equal(y, x.T)
