@@ -471,3 +471,57 @@ def test_transpose2d_pallas(shape):
     x = rng.standard_normal(shape).astype(np.float32)
     y = np.asarray(transpose2d_pallas(jnp.asarray(x), interpret=True))
     np.testing.assert_array_equal(y, x.T)
+
+
+def test_stft_kernel_tile_op_budget():
+    """The fused STFT kernel is VMEM-tile-op-bound: its runtime is
+    proportional to the number of big-tile VPU ops in the traced
+    kernel. Guard the welch-config count so a refactor can't silently
+    regress it (radix-2 stage 1 + reduce-side masking = 79 ops; the
+    exact-arithmetic minimum is ~73)."""
+    import jax
+    from dsptpu.kernels.stft import _stft_pow_jit
+    n, C, nfft, hop, TB = 1_000_000, 64, 1024, 512, 512
+    nfr = (n - nfft) // hop + 1
+    x = jnp.zeros((n, C), jnp.float32)
+    wp = jnp.ones((1, 8, 128), jnp.float32)
+
+    found = []
+
+    def collect(j):
+        for e in j.eqns:
+            if e.primitive.name == "pallas_call":
+                found.append(e.params["jaxpr"])
+            for v in e.params.values():
+                if hasattr(v, "jaxpr"):
+                    collect(v.jaxpr)
+                elif hasattr(v, "eqns"):
+                    collect(v)
+
+    closed = jax.make_jaxpr(lambda x, wp: _stft_pow_jit(
+        x, wp, nfft, hop, nfr, True, "highest", TB, True, True,
+        True))(x, wp)
+    collect(closed.jaxpr)
+    assert found, "pallas_call not found in welch trace"
+    cnt = {"vpu": 0, "dot": 0}
+
+    def walk(j):
+        for e in j.eqns:
+            shp = (getattr(e.outvars[0].aval, "shape", None)
+                   if e.outvars else None)
+            big = shp is not None and int(np.prod(shp or (1,))) >= TB * 128
+            if big and e.primitive.name in ("add", "sub", "mul", "neg",
+                                            "select_n", "max", "min"):
+                cnt["vpu"] += 1
+            if e.primitive.name == "dot_general":
+                cnt["dot"] += 1
+            for v in e.params.values():
+                if hasattr(v, "jaxpr"):
+                    walk(v.jaxpr)
+                elif hasattr(v, "eqns"):
+                    walk(v)
+
+    kj = found[0]
+    walk(kj.jaxpr if hasattr(kj, "jaxpr") else kj)
+    assert cnt["vpu"] <= 82, f"welch kernel tile-op count grew: {cnt}"
+    assert cnt["dot"] == 10, f"stage-2 matmul count changed: {cnt}"
