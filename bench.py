@@ -186,193 +186,220 @@ def main():
              f"{roof})")
 
     # -- config 1: 127-tap FIR, 10M samples, single channel -----------------
-    n = 10_000_000 // scale
-    h = sp.firwin(127, 0.25).astype(dtype)
-    x = (np.sin(2 * np.pi * 0.01 * np.arange(n))
-         + 0.1 * rng.standard_normal(n)).astype(dtype)
-    xj, hj = jnp.asarray(x), jnp.asarray(h)
-    fir = jax.jit(lambda b, s: dsptpu.filt(b, s))
-    t_dev = _timeit(fir, hj, xj, k=256)  # sub-0.2ms/call: long chain
-    t_cpu = _cpu_time(lambda: sp.lfilter(h, [1.0], x[: n // 8])) * 8
-    record("fir_127tap", n, t_dev, t_cpu, min_bytes=2 * 4 * n,
-           flops=2.0 * n * 256,  # row-shift kernel: M+1=2 lane-mixing
-           #                       128-wide matmuls per sample
-           flops_min=2.0 * n * 127)  # algorithmic: 2*taps per output
+    try:
+        n = 10_000_000 // scale
+        h = sp.firwin(127, 0.25).astype(dtype)
+        x = (np.sin(2 * np.pi * 0.01 * np.arange(n))
+             + 0.1 * rng.standard_normal(n)).astype(dtype)
+        xj, hj = jnp.asarray(x), jnp.asarray(h)
+        fir = jax.jit(lambda b, s: dsptpu.filt(b, s))
+        t_dev = _timeit(fir, hj, xj, k=256)  # sub-0.2ms/call: long chain
+        t_cpu = _cpu_time(lambda: sp.lfilter(h, [1.0], x[: n // 8])) * 8
+        record("fir_127tap", n, t_dev, t_cpu, min_bytes=2 * 4 * n,
+               flops=2.0 * n * 256,  # row-shift kernel: M+1=2 lane-mixing
+               #                       128-wide matmuls per sample
+               flops_min=2.0 * n * 127)  # algorithmic: 2*taps per output
+
+    except Exception as e:
+        _log(f"CONFIG FAILED fir_127tap: {type(e).__name__}: {str(e)[:300]}")
+        extra.setdefault("failed_configs", []).append("fir_127tap")
 
     # -- config 2: overlap-save 4096-tap FIR, 16ch x 10M --------------------
-    nch, n2 = 16, 10_000_000 // (scale * 4 if not on_tpu else 1)
-    h2 = sp.firwin(4096, 0.1).astype(dtype)
-    x2 = rng.standard_normal((n2, nch)).astype(dtype)
-    x2j, h2j = jnp.asarray(x2), jnp.asarray(h2)
-    osf = jax.jit(lambda b, s: dsptpu.fftfilt(b, s))
-    t_dev = _timeit(osf, h2j, x2j, k=4)
-    t_cpu = _cpu_time(lambda: sp.oaconvolve(x2[: n2 // 16], h2[:, None],
-                                            axes=0)) * 16
-    # fused four-step kernel FLOPs model (kernels/osconv.py geometry):
-    # per complex frame (two L-sample real frames paired): 4 stage-1
-    # (N1,N1)@(N1,128), 8 stage-2 (N1,128)@(128,128) fw+inv, 4 inverse
-    # stage-1 (hr,N1)@(N1,128) on valid rows only
-    from dsptpu.ops.dspbase import optimal_os_nfft
-    nfft2 = optimal_os_nfft(n2, 4096)
-    N1_2 = nfft2 // 128
-    hr2 = ((nfft2 - 4096 + 1) // 128)
-    L2 = hr2 * 128
-    K2 = -(-n2 // L2)
-    os_flops = nch * (K2 / 2) * (8 * N1_2 * N1_2 * 128
-                                 + 16 * N1_2 * 128 * 128
-                                 + 8 * hr2 * N1_2 * 128)
-    # algorithmic minimum: rFFT-based overlap-save (2.5 N log2 N per
-    # real transform, fw+inv, + spectrum multiply) per L outputs
-    os_flops_min = nch * K2 * (5 * nfft2 * math.log2(nfft2) + 6 * nfft2)
-    record("os_4096tap_16ch", n2 * nch, t_dev, t_cpu,
-           min_bytes=2 * 4 * n2 * nch, flops=os_flops,
-           flops_min=os_flops_min)
+    try:
+        nch, n2 = 16, 10_000_000 // (scale * 4 if not on_tpu else 1)
+        h2 = sp.firwin(4096, 0.1).astype(dtype)
+        x2 = rng.standard_normal((n2, nch)).astype(dtype)
+        x2j, h2j = jnp.asarray(x2), jnp.asarray(h2)
+        osf = jax.jit(lambda b, s: dsptpu.fftfilt(b, s))
+        t_dev = _timeit(osf, h2j, x2j, k=4)
+        t_cpu = _cpu_time(lambda: sp.oaconvolve(x2[: n2 // 16], h2[:, None],
+                                                axes=0)) * 16
+        # fused four-step kernel FLOPs model (kernels/osconv.py geometry):
+        # per complex frame (two L-sample real frames paired): 4 stage-1
+        # (N1,N1)@(N1,128), 8 stage-2 (N1,128)@(128,128) fw+inv, 4 inverse
+        # stage-1 (hr,N1)@(N1,128) on valid rows only
+        from dsptpu.ops.dspbase import optimal_os_nfft
+        nfft2 = optimal_os_nfft(n2, 4096)
+        N1_2 = nfft2 // 128
+        hr2 = ((nfft2 - 4096 + 1) // 128)
+        L2 = hr2 * 128
+        K2 = -(-n2 // L2)
+        os_flops = nch * (K2 / 2) * (8 * N1_2 * N1_2 * 128
+                                     + 16 * N1_2 * 128 * 128
+                                     + 8 * hr2 * N1_2 * 128)
+        # algorithmic minimum: rFFT-based overlap-save (2.5 N log2 N per
+        # real transform, fw+inv, + spectrum multiply) per L outputs
+        os_flops_min = nch * K2 * (5 * nfft2 * math.log2(nfft2) + 6 * nfft2)
+        record("os_4096tap_16ch", n2 * nch, t_dev, t_cpu,
+               min_bytes=2 * 4 * n2 * nch, flops=os_flops,
+               flops_min=os_flops_min)
+
+    except Exception as e:
+        _log(f"CONFIG FAILED os_4096tap_16ch: {type(e).__name__}: {str(e)[:300]}")
+        extra.setdefault("failed_configs", []).append("os_4096tap_16ch")
 
     # -- config 3: welch + spectrogram, nfft=1024, 50% ovl, 64ch ------------
-    nch3, n3 = 64, 1_000_000 // scale
-    x3 = rng.standard_normal((n3, nch3)).astype(dtype)
-    x3j = jnp.asarray(x3)
-    win = np.asarray(dsptpu.windows.hanning(1024)).astype(dtype)
-    nfr = ((n3 - 1024) // 512 + 1)
+    try:
+        nch3, n3 = 64, 1_000_000 // scale
+        x3 = rng.standard_normal((n3, nch3)).astype(dtype)
+        x3j = jnp.asarray(x3)
+        win = np.asarray(dsptpu.windows.hanning(1024)).astype(dtype)
+        nfr = ((n3 - 1024) // 512 + 1)
 
-    welch_j = jax.jit(lambda s: dsptpu.power(
-        dsptpu.welch_pgram(s, 1024, 512, window=win)))
-    spec_j = jax.jit(lambda s: dsptpu.power(
-        dsptpu.spectrogram(s, 1024, 512, window=win)))
-    t_w = _timeit(welch_j, x3j, k=16)
-    t_s = _timeit(spec_j, x3j, k=8)
-    t_cpu_w = _cpu_time(lambda: sp.welch(
-        x3[: n3 // 8], axis=0, nperseg=1024, noverlap=512, window=win)) * 8
-    t_cpu_s = _cpu_time(lambda: sp.spectrogram(
-        x3[: n3 // 8], axis=0, nperseg=1024, noverlap=512,
-        window=win)) * 8
-    # per-frame useful matmul work in the fused four-step kernel:
-    # N1 * 4 complex-as-real (.,128)@(128,128) products
-    kflops = nfr * nch3 * (8 * 4 * 2 * 128 * 128)
-    # algorithmic minimum per frame: one length-1024 rFFT
-    # (2.5 N log2 N) + window multiply + |.|^2 accumulate (~4N)
-    kflops_min = nfr * nch3 * (2.5 * 1024 * 10 + 4 * 1024)
-    record("welch_spectrogram_1024_64ch", 2 * n3 * nch3, t_w + t_s,
-           t_cpu_w + t_cpu_s, min_bytes=2 * 4 * n3 * nch3,
-           flops=2 * kflops, flops_min=2 * kflops_min)
-    stft_fps = nfr * nch3 / t_s
-    extra["stft_frames_per_s"] = round(stft_fps, 1)
-    _log(f"  stft/spectrogram: {stft_fps/1e6:.2f} M frames/s "
-         f"({nfr*nch3} frames in {t_s*1e3:.2f} ms)")
+        welch_j = jax.jit(lambda s: dsptpu.power(
+            dsptpu.welch_pgram(s, 1024, 512, window=win)))
+        spec_j = jax.jit(lambda s: dsptpu.power(
+            dsptpu.spectrogram(s, 1024, 512, window=win)))
+        t_w = _timeit(welch_j, x3j, k=16)
+        t_s = _timeit(spec_j, x3j, k=8)
+        t_cpu_w = _cpu_time(lambda: sp.welch(
+            x3[: n3 // 8], axis=0, nperseg=1024, noverlap=512, window=win)) * 8
+        t_cpu_s = _cpu_time(lambda: sp.spectrogram(
+            x3[: n3 // 8], axis=0, nperseg=1024, noverlap=512,
+            window=win)) * 8
+        # per-frame useful matmul work in the fused four-step kernel:
+        # N1 * 4 complex-as-real (.,128)@(128,128) products
+        kflops = nfr * nch3 * (8 * 4 * 2 * 128 * 128)
+        # algorithmic minimum per frame: one length-1024 rFFT
+        # (2.5 N log2 N) + window multiply + |.|^2 accumulate (~4N)
+        kflops_min = nfr * nch3 * (2.5 * 1024 * 10 + 4 * 1024)
+        record("welch_spectrogram_1024_64ch", 2 * n3 * nch3, t_w + t_s,
+               t_cpu_w + t_cpu_s, min_bytes=2 * 4 * n3 * nch3,
+               flops=2 * kflops, flops_min=2 * kflops_min)
+        stft_fps = nfr * nch3 / t_s
+        extra["stft_frames_per_s"] = round(stft_fps, 1)
+        _log(f"  stft/spectrogram: {stft_fps/1e6:.2f} M frames/s "
+             f"({nfr*nch3} frames in {t_s*1e3:.2f} ms)")
+
+    except Exception as e:
+        _log(f"CONFIG FAILED welch_spectrogram_1024_64ch: {type(e).__name__}: {str(e)[:300]}")
+        extra.setdefault("failed_configs", []).append("welch_spectrogram_1024_64ch")
 
     # -- config 4: polyphase rational resample 147//160 ---------------------
-    n4 = 10_000_000 // scale
-    x4 = rng.standard_normal(n4).astype(dtype)
-    ratio = Fraction(147, 160)
-    h4 = np.asarray(dsptpu.resample_filter(ratio)).astype(dtype)
-    sf = stream_filt.FIRFilter(h4, ratio)
-    x4j = jnp.asarray(x4)
-
-    def poly_dev(xc):
-        sf.reset()
-        return sf.filt(xc)
-
-    t_dev = _timeit(poly_dev, x4j, k=64)
-    t_cpu = _cpu_time(lambda: sp.resample_poly(x4[: n4 // 8], 147, 160)) * 8
-    # kernel-utilization FLOPs model matches whichever path runs: the
-    # pfb2 Pallas kernel does D (S,128)@(128,128) lane-mixing matmuls
-    # per output-row class (2*128*D FLOPs/output); the XLA block
-    # matmul does W4 taps+carry rows per output
-    W4 = -(-len(h4) // 147) + 1  # taps/phase + carry row
-    poly_flops = 2.0 * n4 * (147 / 160) * W4
     try:
-        from dsptpu.kernels.pfb2 import pfb2_supported, pfb2_plan
-        from dsptpu.filters.stream_filt import taps2pfb
-        if on_tpu and pfb2_supported(147, 160, -(-len(h4) // 147),
-                                     np.float32):
+        n4 = 10_000_000 // scale
+        x4 = rng.standard_normal(n4).astype(dtype)
+        ratio = Fraction(147, 160)
+        h4 = np.asarray(dsptpu.resample_filter(ratio)).astype(dtype)
+        sf = stream_filt.FIRFilter(h4, ratio)
+        x4j = jnp.asarray(x4)
+
+        def poly_dev(xc):
             sf.reset()
-            k4 = sf.kernel
-            plan4 = pfb2_plan(taps2pfb(h4, 147), 147, 160,
-                              k4.phi_idx, k4.input_deficit)
-            poly_flops = 2.0 * n4 * (147 / 160) * 128 * plan4.D
-    except Exception:
-        pass
-    record("resample_147_160", n4, t_dev, t_cpu,
-           min_bytes=int(4 * n4 * (1 + 147 / 160)),
-           flops=poly_flops,
-           flops_min=2.0 * n4 * (147 / 160) * (len(h4) / 147))
-    # BASELINE config 4 also names the 3//2 rate (48k -> 32k family)
-    h4b = np.asarray(dsptpu.resample_filter(Fraction(3, 2))).astype(dtype)
-    sfb = stream_filt.FIRFilter(h4b, Fraction(3, 2))
+            return sf.filt(xc)
 
-    def poly_dev_b(xc):
-        sfb.reset()
-        return sfb.filt(xc)
+        t_dev = _timeit(poly_dev, x4j, k=64)
+        t_cpu = _cpu_time(lambda: sp.resample_poly(x4[: n4 // 8], 147, 160)) * 8
+        # kernel-utilization FLOPs model matches whichever path runs: the
+        # pfb2 Pallas kernel does D (S,128)@(128,128) lane-mixing matmuls
+        # per output-row class (2*128*D FLOPs/output); the XLA block
+        # matmul does W4 taps+carry rows per output
+        W4 = -(-len(h4) // 147) + 1  # taps/phase + carry row
+        poly_flops = 2.0 * n4 * (147 / 160) * W4
+        try:
+            from dsptpu.kernels.pfb2 import pfb2_supported, pfb2_plan
+            from dsptpu.filters.stream_filt import taps2pfb
+            if on_tpu and pfb2_supported(147, 160, -(-len(h4) // 147),
+                                         np.float32):
+                sf.reset()
+                k4 = sf.kernel
+                plan4 = pfb2_plan(taps2pfb(h4, 147), 147, 160,
+                                  k4.phi_idx, k4.input_deficit)
+                poly_flops = 2.0 * n4 * (147 / 160) * 128 * plan4.D
+        except Exception:
+            pass
+        record("resample_147_160", n4, t_dev, t_cpu,
+               min_bytes=int(4 * n4 * (1 + 147 / 160)),
+               flops=poly_flops,
+               flops_min=2.0 * n4 * (147 / 160) * (len(h4) / 147))
+        # BASELINE config 4 also names the 3//2 rate (48k -> 32k family)
+        h4b = np.asarray(dsptpu.resample_filter(Fraction(3, 2))).astype(dtype)
+        sfb = stream_filt.FIRFilter(h4b, Fraction(3, 2))
 
-    t_dev_b = _timeit(poly_dev_b, x4j, k=64)
-    extra["resample_3_2_msps"] = round(n4 / t_dev_b / 1e6, 1)
-    _log(f"  resample 3//2: {n4/t_dev_b/1e6:.1f} MS/s")
-    # arbitrary-rate (FIRArbitrary dual-PFB, reference
-    # stream_filt.jl:567-625) — the non-rational practice case of
-    # BASELINE config 4 (clock-drift compensation around unity)
-    rate_arb = 0.9997
-    n4c = n4 // 4
-    h4c = np.asarray(dsptpu.resample_filter(rate_arb)).astype(dtype)
-    sfc = stream_filt.FIRFilter(h4c, rate_arb)
-    x4cj = jnp.asarray(x4[:n4c])
+        def poly_dev_b(xc):
+            sfb.reset()
+            return sfb.filt(xc)
 
-    def poly_dev_c(xc):
-        sfc.reset()
-        return sfc.filt(xc)
+        t_dev_b = _timeit(poly_dev_b, x4j, k=64)
+        extra["resample_3_2_msps"] = round(n4 / t_dev_b / 1e6, 1)
+        _log(f"  resample 3//2: {n4/t_dev_b/1e6:.1f} MS/s")
+        # arbitrary-rate (FIRArbitrary dual-PFB, reference
+        # stream_filt.jl:567-625) — the non-rational practice case of
+        # BASELINE config 4 (clock-drift compensation around unity)
+        rate_arb = 0.9997
+        n4c = n4 // 4
+        h4c = np.asarray(dsptpu.resample_filter(rate_arb)).astype(dtype)
+        sfc = stream_filt.FIRFilter(h4c, rate_arb)
+        x4cj = jnp.asarray(x4[:n4c])
 
-    t_dev_c = _timeit(poly_dev_c, x4cj, k=8)
-    extra["resample_arb_0p9997_msps"] = round(n4c / t_dev_c / 1e6, 1)
-    _log(f"  resample arbitrary 0.9997: {n4c/t_dev_c/1e6:.1f} MS/s "
-         f"(dual-PFB, Nphi-fold all-phase overcount)")
+        def poly_dev_c(xc):
+            sfc.reset()
+            return sfc.filt(xc)
+
+        t_dev_c = _timeit(poly_dev_c, x4cj, k=8)
+        extra["resample_arb_0p9997_msps"] = round(n4c / t_dev_c / 1e6, 1)
+        _log(f"  resample arbitrary 0.9997: {n4c/t_dev_c/1e6:.1f} MS/s "
+             f"(dual-PFB, Nphi-fold all-phase overcount)")
+
+    except Exception as e:
+        _log(f"CONFIG FAILED resample_147_160: {type(e).__name__}: {str(e)[:300]}")
+        extra.setdefault("failed_configs", []).append("resample_147_160")
 
     # -- config 5: IIR filtfilt (SOS8) + LPC (Levinson, order 16) -----------
-    n5 = 1_000_000 // scale
-    x5 = rng.standard_normal(n5).astype(dtype)
-    f5 = dsptpu.filters.as_sos(
-        dsptpu.digitalfilter(dsptpu.Lowpass(0.2), dsptpu.Butterworth(8)))
-    sos_arr = f5.sos_array()
-    sos_sp = np.column_stack([sos_arr[:, :3],
-                              np.ones((sos_arr.shape[0], 1)),
-                              sos_arr[:, 3:]])
-    sos_sp[0, :3] *= f5.g
-    x5j = jnp.asarray(x5)
-    ff = jax.jit(lambda s: dsptpu.filtfilt(f5, s))
-    t_ff = _timeit(ff, x5j, k=64)
-    # speech-frame LPC: 25 ms frames at 16 kHz (400 samples), order 16
-    flen = 400
-    nfr5 = n5 // flen
-    frames5 = x5[: nfr5 * flen].reshape(nfr5, flen).T.copy()  # (flen, nfr)
-    frames5j = jnp.asarray(frames5)
-    lpc_j = jax.jit(lambda fr: dsptpu.lpc(fr, 16, method="levinson"))
-    t_lpc = _timeit(lpc_j, frames5j, k=64)
-    t_cpu_ff = _cpu_time(lambda: sp.sosfiltfilt(sos_sp, x5[: n5 // 8])) * 8
+    try:
+        n5 = 1_000_000 // scale
+        x5 = rng.standard_normal(n5).astype(dtype)
+        f5 = dsptpu.filters.as_sos(
+            dsptpu.digitalfilter(dsptpu.Lowpass(0.2), dsptpu.Butterworth(8)))
+        sos_arr = f5.sos_array()
+        sos_sp = np.column_stack([sos_arr[:, :3],
+                                  np.ones((sos_arr.shape[0], 1)),
+                                  sos_arr[:, 3:]])
+        sos_sp[0, :3] *= f5.g
+        x5j = jnp.asarray(x5)
+        ff = jax.jit(lambda s: dsptpu.filtfilt(f5, s))
+        t_ff = _timeit(ff, x5j, k=64)
+        # speech-frame LPC: 25 ms frames at 16 kHz (400 samples), order 16
+        flen = 400
+        nfr5 = n5 // flen
+        frames5 = x5[: nfr5 * flen].reshape(nfr5, flen).T.copy()  # (flen, nfr)
+        frames5j = jnp.asarray(frames5)
+        lpc_j = jax.jit(lambda fr: dsptpu.lpc(fr, 16, method="levinson"))
+        t_lpc = _timeit(lpc_j, frames5j, k=64)
+        t_cpu_ff = _cpu_time(lambda: sp.sosfiltfilt(sos_sp, x5[: n5 // 8])) * 8
 
-    def cpu_lpc():
-        fr = frames5[:, : nfr5 // 8]
-        for i in range(fr.shape[1]):
-            c = np.correlate(fr[:, i], fr[:, i], "full")[flen - 1:
-                                                        flen + 16]
-            sp_a = np.linalg.solve(
-                np.array([[c[abs(j - k)] for k in range(16)]
-                          for j in range(16)]), -c[1:17])
-        return sp_a
+        def cpu_lpc():
+            fr = frames5[:, : nfr5 // 8]
+            for i in range(fr.shape[1]):
+                c = np.correlate(fr[:, i], fr[:, i], "full")[flen - 1:
+                                                            flen + 16]
+                sp_a = np.linalg.solve(
+                    np.array([[c[abs(j - k)] for k in range(16)]
+                              for j in range(16)]), -c[1:17])
+            return sp_a
 
-    t_cpu_lpc = _cpu_time(cpu_lpc, reps=1) * 8
-    # per-pass useful matmul FLOPs of the fused block-IIR kernel:
-    # (3 + log2(TB)) (.,128)@(128,128) products per 128-sample row
-    biir_flops = 2 * (2.2 * n5) * (3 + 8) * 128  # 2 passes, padded edges
-    # algorithmic minimum: DF2T biquad = 5 mults + 4 adds per sample
-    # per section per pass (4 sections, 2 passes); LPC min: biased
-    # autocorr via length-1024 rFFT + order-16 Levinson (~4 p^2)
-    ff_flops_min = (2 * 4 * 9 * n5
-                    + nfr5 * (2 * 2.5 * 1024 * 10 + 4 * 16 * 16))
-    record("filtfilt_lpc16", n5 + nfr5 * flen, t_ff + t_lpc,
-           t_cpu_ff + t_cpu_lpc, min_bytes=4 * 4 * n5,
-           flops=int(biir_flops), flops_min=int(ff_flops_min))
-    _log(f"  filtfilt: {n5/t_ff/1e6:.1f} MS/s; "
-         f"lpc16: {nfr5/t_lpc:.0f} frames/s ({nfr5*flen/t_lpc/1e6:.1f} MS/s)")
+        t_cpu_lpc = _cpu_time(cpu_lpc, reps=1) * 8
+        # per-pass useful matmul FLOPs of the fused block-IIR kernel:
+        # (3 + log2(TB)) (.,128)@(128,128) products per 128-sample row
+        biir_flops = 2 * (2.2 * n5) * (3 + 8) * 128  # 2 passes, padded edges
+        # algorithmic minimum: DF2T biquad = 5 mults + 4 adds per sample
+        # per section per pass (4 sections, 2 passes); LPC min: biased
+        # autocorr via length-1024 rFFT + order-16 Levinson (~4 p^2)
+        ff_flops_min = (2 * 4 * 9 * n5
+                        + nfr5 * (2 * 2.5 * 1024 * 10 + 4 * 16 * 16))
+        record("filtfilt_lpc16", n5 + nfr5 * flen, t_ff + t_lpc,
+               t_cpu_ff + t_cpu_lpc, min_bytes=4 * 4 * n5,
+               flops=int(biir_flops), flops_min=int(ff_flops_min))
+        _log(f"  filtfilt: {n5/t_ff/1e6:.1f} MS/s; "
+             f"lpc16: {nfr5/t_lpc:.0f} frames/s ({nfr5*flen/t_lpc/1e6:.1f} MS/s)")
+
+    except Exception as e:
+        _log(f"CONFIG FAILED filtfilt_lpc16: {type(e).__name__}: {str(e)[:300]}")
+        extra.setdefault("failed_configs", []).append("filtfilt_lpc16")
 
     # -- headline ------------------------------------------------------------
+    if not results:
+        raise SystemExit("all bench configs failed")
     geo = math.exp(sum(math.log(v) for v in results.values())
                    / len(results))
     geo_ratio = math.exp(sum(math.log(v) for v in ratios.values())

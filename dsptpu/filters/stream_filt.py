@@ -703,9 +703,15 @@ class FIRFilter:
         pfb_host = np.asarray(k.pfb_t).T          # (taps_per_phi, L)
         if not pfb2_supported(L, M, pfb_host.shape[0], jnp.float32):
             return None
-        y = pfb2_resample_pallas(x, pfb_host, L, M, phi0,
-                                 k.input_deficit, out_len,
-                                 interpret=interp)
+        try:
+            y = pfb2_resample_pallas(x, pfb_host, L, M, phi0,
+                                     k.input_deficit, out_len,
+                                     interpret=interp)
+        except Exception:
+            # eager callers degrade to the XLA block matmul if Mosaic
+            # rejects a geometry at compile time (jitted callers see
+            # the compile error directly)
+            return None
         hl = self.history_len
         nh = x[xlen - hl:] if (hl and xlen >= hl) else None
         return y, nh
