@@ -684,9 +684,15 @@ class FIRFilter:
                      and self.history is self._zero_hist[1]))
         if not fresh:
             return None
-        from ..ops.dspbase import _pallas_os_state
-        use_k, interp = _pallas_os_state()
-        if not use_k:
+        from ..ops import dspbase
+        use_k, interp = dspbase._pallas_os_state()
+        # Opt-in only (DSPTPU_PALLAS=1): measured on v5e the strided
+        # sublane load/store geometry runs 27x SLOWER than the XLA
+        # block matmul (0.41 vs 11.3 GS/s at 147//160 x 10M) — Mosaic
+        # lowers each (S,128) stride-P_in access as per-row copies.
+        # Keep the kernel for study; the default path stays XLA until
+        # a contiguous-access geometry beats it on device.
+        if not use_k or dspbase._PALLAS_OS is not True:
             return None
         if isinstance(k, FIRRational):
             L, M = k.ratio.numerator, k.ratio.denominator
