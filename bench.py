@@ -299,13 +299,15 @@ def main():
         try:
             from dsptpu.kernels.pfb2 import pfb2_supported, pfb2_plan
             from dsptpu.filters.stream_filt import taps2pfb
-            if on_tpu and pfb2_supported(147, 160, -(-len(h4) // 147),
-                                         np.float32):
+            from dsptpu.ops import dspbase as _db
+            if on_tpu and _db._PALLAS_OS is True and pfb2_supported(
+                    147, 160, -(-len(h4) // 147), np.float32):
                 sf.reset()
                 k4 = sf.kernel
                 plan4 = pfb2_plan(taps2pfb(h4, 147), 147, 160,
                                   k4.phi_idx, k4.input_deficit)
-                poly_flops = 2.0 * n4 * (147 / 160) * 128 * plan4.D
+                poly_flops = (2.0 * n4 * (147 / 160) * 128
+                              * getattr(plan4, "D_avg", plan4.D))
         except Exception:
             pass
         record("resample_147_160", n4, t_dev, t_cpu,

@@ -686,13 +686,7 @@ class FIRFilter:
             return None
         from ..ops import dspbase
         use_k, interp = dspbase._pallas_os_state()
-        # Opt-in only (DSPTPU_PALLAS=1): measured on v5e the strided
-        # sublane load/store geometry runs 27x SLOWER than the XLA
-        # block matmul (0.41 vs 11.3 GS/s at 147//160 x 10M) — Mosaic
-        # lowers each (S,128) stride-P_in access as per-row copies.
-        # Keep the kernel for study; the default path stays XLA until
-        # a contiguous-access geometry beats it on device.
-        if not use_k or dspbase._PALLAS_OS is not True:
+        if not use_k:
             return None
         if isinstance(k, FIRRational):
             L, M = k.ratio.numerator, k.ratio.denominator
@@ -705,10 +699,22 @@ class FIRFilter:
             phi0 = 1
         else:
             return None
-        from ..kernels.pfb2 import pfb2_supported, pfb2_resample_pallas
+        from ..kernels.pfb2 import (pfb2_supported, pfb2_plan,
+                                    pfb2_resample_pallas)
         pfb_host = np.asarray(k.pfb_t).T          # (taps_per_phi, L)
         if not pfb2_supported(L, M, pfb_host.shape[0], jnp.float32):
             return None
+        # Default-on only where the kernel measured FASTER than the
+        # XLA block matmul on v5e: resident-table plans (<= 4 MB of
+        # lane-mixing tables riding whole in VMEM — 3//2 x 10M: 0.95
+        # vs 1.40 ms, 1.47x). Streamed-table plans (e.g. 147//160,
+        # 23 MB ragged table re-DMA'd per tile) only reach XLA parity
+        # (0.834 vs 0.808 ms), so they stay opt-in (DSPTPU_PALLAS=1).
+        if dspbase._PALLAS_OS is not True:
+            plan = pfb2_plan(pfb_host, L, M, int(phi0),
+                             int(k.input_deficit))
+            if plan.tab.nbytes > (4 << 20):
+                return None
         try:
             y = pfb2_resample_pallas(x, pfb_host, L, M, phi0,
                                      k.input_deficit, out_len,

@@ -192,8 +192,13 @@ def _osconv_jit(u, vp, nfft, nv, nout, Q, interpret,
     RO = -(-nout // 128)
     const = lambda shape: pl.BlockSpec(shape, lambda c, p: (0, 0),
                                        memory_space=pltpu.VMEM)
+    # Mosaic does not lower Precision.HIGH for dot (measured on v5e:
+    # "Unsupported dot precision: HIGH" at lowering) — the hoped-for
+    # 3-pass middle ground between HIGHEST (6-pass) and DEFAULT (bf16)
+    # is not expressible in a Pallas TPU kernel, so "high" aliases to
+    # HIGHEST rather than failing at trace time.
     prec = {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
+            "high": jax.lax.Precision.HIGHEST,
             "default": jax.lax.Precision.DEFAULT}[precision]
     out = pl.pallas_call(
         functools.partial(_kernel, N1=N1, hr=hr, srow=srow, Q=Q, A=A,

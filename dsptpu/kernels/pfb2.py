@@ -35,8 +35,11 @@ stream from HBM in class groups with double-buffered manual DMA (the
 full table, O_r*D*64 KB, can exceed VMEM).
 
 Superchunk-boundary rows (a class window crossing into the next
-superchunk, or the zero history before the signal start) use two
-8-row side views of the same array plus masked single-row matmuls.
+superchunk, or the zero history before the signal start) read the
+full-S strided band one super off, realign with pltpu.roll, and
+substitute the tile-crossing super from two 8-row side views via a
+where on the super iota (Mosaic lowers roll/where but not the
+scatter that .at[].set would emit).
 
 v1 scope: stateless zero-history streams (fresh/reset FIRFilter — the
 `resample()` path), real f32, 1-D. The streaming-history case falls
@@ -87,8 +90,8 @@ def pfb2_supported(L, M, taps, dtype):
 class _Pfb2Plan:
     """Host geometry + tables for one (pfb, L, M, phi0, deficit)."""
 
-    __slots__ = ("k", "P_in", "O_r", "D", "tab", "r_lo", "L", "M",
-                 "taps", "CG", "tab_dev")
+    __slots__ = ("k", "P_in", "O_r", "D", "D_c", "D_avg", "off", "tab",
+                 "r_lo", "L", "M", "taps", "groups", "tab_dev")
 
     def __init__(self, pfb, L, M, phi0, deficit):
         taps, nphi = pfb.shape
@@ -107,7 +110,8 @@ class _Pfb2Plan:
         col = col.reshape(O_r, 128)
         r_lo = np.floor_divide(w.min(axis=1), 128)        # (O_r,)
         r_hi = np.floor_divide(w.max(axis=1) + taps - 1, 128)
-        D = int((r_hi - r_lo).max()) + 1
+        D_c = (r_hi - r_lo + 1).astype(np.int64)          # per-class band
+        D = int(D_c.max())
         tab = np.zeros((O_r, D, 128, 128), np.float32)
         c_idx = np.repeat(np.arange(O_r), 128)
         l_idx = np.tile(np.arange(128), O_r)
@@ -119,15 +123,37 @@ class _Pfb2Plan:
             r, lane = np.floor_divide(pos, 128), np.mod(pos, 128)
             d = r - r_lo[c_idx]
             np.add.at(tab, (c_idx, d, lane, l_idx), pfb32[t, cf])
+        # ragged packing: most classes span D_c < D rows (the window
+        # width taps + 128*M/L rarely crosses the worst-case number of
+        # 128-sample rows) — packing the flat table by D_c instead of
+        # dense D cuts the dominant streamed-table HBM traffic and
+        # skips the all-zero band matmuls
+        self.D_c = tuple(int(v) for v in D_c)
+        self.D_avg = float(D_c.mean())
+        off = np.zeros(O_r + 1, np.int64)
+        np.cumsum(D_c, out=off[1:])
+        self.off = tuple(int(v) * 128 for v in off)       # row offsets
+        self.tab = np.concatenate(
+            [tab[c, : self.D_c[c]].reshape(-1, 128) for c in range(O_r)],
+            axis=0)
         self.k, self.P_in, self.O_r, self.D = k, P_in, O_r, D
-        self.tab, self.r_lo = tab, r_lo.astype(np.int64)
+        self.r_lo = r_lo.astype(np.int64)
         self.L, self.M, self.taps = L, M, taps
-        # class-group size for table streaming (~2 MB per group),
-        # chosen as a divisor of O_r so groups tile exactly
-        cg = max(1, min(O_r, (2 << 20) // (D * 128 * 128 * 4)))
-        while O_r % cg:
-            cg -= 1
-        self.CG = cg
+        # contiguous class groups for table streaming, ~2 MB (4096
+        # rows) per group: (c0, c1, row0, nrows) with python-static
+        # bounds so each group's DMA has a static slice
+        gcap = 4096
+        groups = []
+        c0 = 0
+        while c0 < O_r:
+            c1 = c0 + 1
+            while (c1 < O_r
+                   and self.off[c1 + 1] - self.off[c0] <= gcap):
+                c1 += 1
+            groups.append((c0, c1, self.off[c0],
+                           self.off[c1] - self.off[c0]))
+            c0 = c1
+        self.groups = tuple(groups)
         self.tab_dev = None      # device copy, uploaded once on use
 
 
@@ -145,20 +171,18 @@ def pfb2_plan(pfb, L, M, phi0, deficit):
     return hit
 
 
-def _make_kernel(S, P_in, O_r, D, CG, r_lo, prec, R_sig,
+def _make_kernel(S, P_in, O_r, groups, D_c, off, r_lo, prec, R_sig,
                  resident=False):
     """Kernel body with all class geometry baked as python constants.
     Args: xa (S*P_in, 128) input tile, xprev/xnext (1, 8, 128) side
-    views, tab_hbm (O_r*D*128, 128) flat tables in HBM, o_ref
-    (S*O_r, 128), scratch (2, CG*D*128, 128), sem (2,). Rows at or
-    after the signal end (absolute row >= R_sig) are zero-masked: the
-    last partial output row mixes valid and past-the-end lanes, and an
-    unmasked OOB read would poison the valid lanes through the
-    lane-mixing matmul. With resident=True the whole table rides in
-    VMEM as a constant block (small ratios — no DMA machinery) and the
-    kernel takes no scratch/sem args."""
-    ngrp = O_r // CG
-    rows_g = CG * D * 128
+    views, tab_hbm (sum_c D_c*128, 128) ragged-packed tables in HBM,
+    o_ref (S*O_r, 128), scratch (2, max_group_rows, 128), sem (2,).
+    Rows at or after the signal end (absolute row >= R_sig) are
+    zero-masked: the last partial output row mixes valid and
+    past-the-end lanes, and an unmasked OOB read would poison the
+    valid lanes through the lane-mixing matmul. With resident=True the
+    whole table rides in VMEM as a constant block (small ratios — no
+    DMA machinery) and the kernel takes no scratch/sem args."""
 
     def kern(xa, xprev, xnext, tab_hbm, o_ref, scratch=None, sem=None):
         st = pl.program_id(0)
@@ -166,7 +190,6 @@ def _make_kernel(S, P_in, O_r, D, CG, r_lo, prec, R_sig,
                                 preferred_element_type=jnp.float32,
                                 precision=prec)
         sup = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
-        sup1 = sup[: S - 1]
         base = st * (S * P_in)
 
         def masked(rows, rr, nsup, supv):
@@ -174,56 +197,71 @@ def _make_kernel(S, P_in, O_r, D, CG, r_lo, prec, R_sig,
             return jnp.where(live, rows, 0.0)
 
         def start_copy(g, slot):
+            c0, c1, row0, nrows = groups[g]
             pltpu.make_async_copy(
-                tab_hbm.at[pl.ds(g * rows_g, rows_g), :],
-                scratch.at[slot], sem.at[slot]).start()
+                tab_hbm.at[pl.ds(row0, nrows), :],
+                scratch.at[slot, pl.ds(0, nrows), :],
+                sem.at[slot]).start()
 
         if not resident:
             start_copy(0, 0)
-        for g in range(ngrp):
+        for g in range(len(groups)):
             slot = g % 2
+            c0, c1, row0, nrows = groups[g]
             if not resident:
-                if g + 1 < ngrp:
+                if g + 1 < len(groups):
                     start_copy(g + 1, (g + 1) % 2)
                 pltpu.make_async_copy(
-                    tab_hbm.at[pl.ds(g * rows_g, rows_g), :],
-                    scratch.at[slot], sem.at[slot]).wait()
-            for ci in range(CG):
-                c = g * CG + ci
+                    tab_hbm.at[pl.ds(row0, nrows), :],
+                    scratch.at[slot, pl.ds(0, nrows), :],
+                    sem.at[slot]).wait()
+            for c in range(c0, c1):
                 r0c = r_lo[c]
                 acc = None
-                for d in range(D):
+                for d in range(D_c[c]):
                     rr = r0c + d
                     if resident:
-                        T = tab_hbm[(c * D + d) * 128:
-                                    (c * D + d + 1) * 128, :]
+                        T = tab_hbm[off[c] + d * 128:
+                                    off[c] + (d + 1) * 128, :]
                     else:
-                        T = scratch[slot, (ci * D + d) * 128:
-                                    (ci * D + d + 1) * 128, :]
+                        loc = off[c] - row0
+                        T = scratch[slot, loc + d * 128:
+                                    loc + (d + 1) * 128, :]
                     if rr < 0:
-                        # supers 1..S-1 read in-tile rows
-                        # (P_in+rr) + P_in*(s-1); super 0 reads the
-                        # previous tile's tail (zero history at st==0)
-                        rows = xa[pl.Slice(P_in + rr, S - 1, P_in), :]
-                        main = dot(masked(rows, rr, S - 1, sup1 + 1), T)
+                        # super s needs in-tile row s*P_in + rr (the
+                        # previous super's tail); one full-S strided
+                        # read at start P_in+rr gives element s =
+                        # need(s+1), so roll(+1) realigns (row 0 wraps
+                        # garbage) and super 0's row — the previous
+                        # TILE's tail (zero history at st==0) — is
+                        # substituted by a where on the super iota.
+                        # (.at[].set is a scatter, which Mosaic does
+                        # not lower — roll+where only.)
+                        rows = xa[pl.Slice(P_in + rr, S, P_in), :]
+                        y = pltpu.roll(dot(rows, T), 1, axis=0)
                         prev = dot(xprev[0, 8 + rr, :][None, :], T)
                         prev = jnp.where(st > 0, prev, 0.0)
-                        part = jnp.zeros((S, 128), jnp.float32)
-                        part = part.at[1:, :].set(main)
-                        part = part.at[0:1, :].set(prev)
+                        live = base + rr + P_in * sup < R_sig
+                        part = jnp.where(live,
+                                         jnp.where(sup == 0, prev, y),
+                                         0.0)
                     elif rr >= P_in:
-                        # supers 0..S-2 read in-tile rows rr + P_in*s;
-                        # super S-1 spills into the next tile's head
-                        rows = xa[pl.Slice(rr, S - 1, P_in), :]
-                        main = dot(masked(rows, rr, S - 1, sup1), T)
-                        nrow = xnext[0, rr - P_in, :][None, :]
-                        nrow = jnp.where(
-                            base + rr + P_in * (S - 1) < R_sig, nrow,
-                            0.0)
-                        nxt = dot(nrow, T)
-                        part = jnp.zeros((S, 128), jnp.float32)
-                        part = part.at[: S - 1, :].set(main)
-                        part = part.at[S - 1: S, :].set(nxt)
+                        # super s needs row s*P_in + rr (the NEXT
+                        # super's head); a full-S strided read at
+                        # start rr-P_in gives element s = need(s-1):
+                        # roll(-1) realigns (last row wraps garbage)
+                        # and super S-1 — the next tile's head — is
+                        # substituted via the super iota.
+                        rows = xa[pl.Slice(rr - P_in, S, P_in), :]
+                        # roll by S-1 == roll by -1 (shift must be
+                        # non-negative)
+                        y = pltpu.roll(dot(rows, T), S - 1, axis=0)
+                        nxt = dot(xnext[0, rr - P_in, :][None, :], T)
+                        live = base + rr + P_in * sup < R_sig
+                        part = jnp.where(live,
+                                         jnp.where(sup == S - 1, nxt,
+                                                   y),
+                                         0.0)
                     else:
                         rows = xa[pl.Slice(rr, S, P_in), :]
                         part = dot(masked(rows, rr, S, sup), T)
@@ -234,23 +272,28 @@ def _make_kernel(S, P_in, O_r, D, CG, r_lo, prec, R_sig,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "S", "P_in", "O_r", "D", "CG", "r_lo_t", "nst", "precision",
-    "interpret"))
-def _pfb2_jit(x2, tab, S, P_in, O_r, D, CG, r_lo_t, nst, precision,
-              interpret):
+    "S", "P_in", "O_r", "groups", "D_c", "off", "r_lo_t", "nst",
+    "precision", "interpret"))
+def _pfb2_jit(x2, tab, S, P_in, O_r, groups, D_c, off, r_lo_t, nst,
+              precision, interpret):
+    # Mosaic does not lower Precision.HIGH for dot; "high" aliases to
+    # HIGHEST (measured on v5e: DEFAULT is slower than HIGHEST here —
+    # the lane-mixing tables are f32 and the bf16 split costs passes)
     prec = {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
+            "high": jax.lax.Precision.HIGHEST,
             "default": jax.lax.Precision.DEFAULT}[precision]
     R = x2.shape[0]
     R8 = max(R // 8, 1)
     x8 = x2[: R8 * 8].reshape(R8, 8, 128)
     tile_rows = S * P_in
     t8 = tile_rows // 8
+    tab_rows = off[-1]
     # small tables ride whole in VMEM (no DMA machinery): saves the
     # per-tile group streaming for the common small-ratio kernels
-    resident = O_r * D * 128 * 128 * 4 <= (4 << 20)
-    kern = _make_kernel(S, P_in, O_r, D, CG, r_lo_t, prec, R,
-                        resident=resident)
+    resident = tab_rows * 128 * 4 <= (4 << 20)
+    max_grp = max(g[3] for g in groups)
+    kern = _make_kernel(S, P_in, O_r, groups, D_c, off, r_lo_t, prec,
+                        R, resident=resident)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((nst * S * O_r, 128),
@@ -266,14 +309,14 @@ def _pfb2_jit(x2, tab, S, P_in, O_r, D, CG, r_lo_t, nst, precision,
                          lambda st: (jnp.minimum(
                              (st + 1) * t8, R8 - 1), 0, 0),
                          memory_space=pltpu.VMEM),
-            (pl.BlockSpec((O_r * D * 128, 128), lambda st: (0, 0),
+            (pl.BlockSpec((tab_rows, 128), lambda st: (0, 0),
                           memory_space=pltpu.VMEM) if resident
              else pl.BlockSpec(memory_space=pltpu.HBM)),
         ],
         out_specs=pl.BlockSpec((S * O_r, 128), lambda st: (st, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=([] if resident else [
-            pltpu.VMEM((2, CG * D * 128, 128), jnp.float32),
+            pltpu.VMEM((2, max_grp, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]),
         interpret=interpret,
@@ -282,18 +325,23 @@ def _pfb2_jit(x2, tab, S, P_in, O_r, D, CG, r_lo_t, nst, precision,
 
 
 def pfb2_resample_pallas(x, pfb, L, M, phi0, deficit, out_len,
-                         S=64, precision="highest", interpret=False):
+                         S=None, precision="highest", interpret=False):
     """Rational polyphase resample of 1-D real f32 `x` (zero history).
     pfb: (taps_per_phi, L) bank (taps2pfb layout). Returns (out_len,)
     f32 matching stream_filt's FIRFilter.filt output exactly."""
     plan = pfb2_plan(pfb, L, M, int(phi0), int(deficit))
+    if S is None:
+        # measured on v5e 147//160 x 10M: streamed-table plans run
+        # best at S=48 (0.834 ms vs 1.007 at S=64); resident-table
+        # plans at S=64; S=80+ exceeds the 16 MB VMEM budget
+        S = 64 if plan.tab.nbytes <= (4 << 20) else 48
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
     R = -(-n // 128)
     if R * 128 != n:
         x = jnp.pad(x, (0, R * 128 - n))
     x2 = x.reshape(R, 128)
-    O_r, P_in, D, CG = plan.O_r, plan.P_in, plan.D, plan.CG
+    O_r, P_in = plan.O_r, plan.P_in
     out_rows = -(-out_len // 128)
     nsuper = -(-out_rows // O_r)
     S = max(2, min(S, nsuper))
@@ -303,9 +351,8 @@ def pfb2_resample_pallas(x, pfb, L, M, phi0, deficit, out_len,
     # a fresh host->device transfer of the table can cost more than
     # the kernel (round-2 G-cache lesson, stream_filt._block_args)
     if plan.tab_dev is None:
-        plan.tab_dev = jax.device_put(
-            plan.tab.reshape(O_r * D * 128, 128))
+        plan.tab_dev = jax.device_put(plan.tab)
     tab = plan.tab_dev
-    out = _pfb2_jit(x2, tab, S, P_in, O_r, D, CG, r_lo_t, nst,
-                    precision, interpret)
+    out = _pfb2_jit(x2, tab, S, P_in, O_r, plan.groups, plan.D_c,
+                    plan.off, r_lo_t, nst, precision, interpret)
     return out.reshape(-1)[:out_len]

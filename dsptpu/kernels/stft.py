@@ -271,7 +271,7 @@ def _kernel(q_hbm, w2re, wp, o_ref, scratch, sem, *,
 
 
 def stft_pow_pallas(x, win, nfft, hop, nframes, accumulate=False,
-                    precision="highest", TB=512, onesided=False,
+                    precision="highest", TB=128, onesided=False,
                     raw=False, interpret=False):
     """Fused windowed-segment power spectra on TPU.
 
