@@ -701,32 +701,42 @@ class FIRFilter:
             return None
         from ..kernels.pfb2 import (pfb2_supported, pfb2_plan,
                                     pfb2_resample_pallas)
-        pfb_host = np.asarray(k.pfb_t).T          # (taps_per_phi, L)
-        if not pfb2_supported(L, M, pfb_host.shape[0], jnp.float32):
+        # cache the host bank + gate verdict on the kernel instance:
+        # np.asarray(k.pfb_t) is a device->host readback and the gate
+        # runs per filt() call on the resample hot path
+        cached = getattr(k, "_pfb2_gate", None)
+        if cached is None or cached[0] != phi0:
+            pfb_host = np.asarray(k.pfb_t).T      # (taps_per_phi, L)
+            ok = pfb2_supported(L, M, pfb_host.shape[0], jnp.float32)
+            # Default-on only where the kernel measured FASTER than
+            # the XLA block matmul on v5e: resident-table plans
+            # (<= 4 MB of lane-mixing tables riding whole in VMEM —
+            # 3//2 x 10M: 0.95 vs 1.40 ms, 1.47x). Streamed-table
+            # plans (e.g. 147//160, 23 MB ragged table re-DMA'd per
+            # tile) only reach XLA parity (0.834 vs 0.808 ms), so
+            # they stay opt-in (DSPTPU_PALLAS=1).
+            resident = ok and pfb2_plan(
+                pfb_host, L, M, int(phi0),
+                int(k.input_deficit)).tab.nbytes <= (4 << 20)
+            k._pfb2_gate = cached = (phi0, pfb_host, ok, resident)
+        _, pfb_host, ok, resident = cached
+        if not ok or (dspbase._PALLAS_OS is not True and not resident):
             return None
-        # Default-on only where the kernel measured FASTER than the
-        # XLA block matmul on v5e: resident-table plans (<= 4 MB of
-        # lane-mixing tables riding whole in VMEM — 3//2 x 10M: 0.95
-        # vs 1.40 ms, 1.47x). Streamed-table plans (e.g. 147//160,
-        # 23 MB ragged table re-DMA'd per tile) only reach XLA parity
-        # (0.834 vs 0.808 ms), so they stay opt-in (DSPTPU_PALLAS=1).
-        if dspbase._PALLAS_OS is not True:
-            plan = pfb2_plan(pfb_host, L, M, int(phi0),
-                             int(k.input_deficit))
-            if plan.tab.nbytes > (4 << 20):
-                return None
+        hl = self.history_len if (self.history_len
+                                  and xlen >= self.history_len) else 0
         try:
-            y = pfb2_resample_pallas(x, pfb_host, L, M, phi0,
-                                     k.input_deficit, out_len,
-                                     interpret=interp)
+            # the history tail rides in the kernel's jitted program —
+            # an eager x[xlen-hl:] slice on a large device signal
+            # costs ~0.5 ms of XLA relayout per call
+            res = pfb2_resample_pallas(x, pfb_host, L, M, phi0,
+                                       k.input_deficit, out_len,
+                                       interpret=interp, hist_len=hl)
         except Exception:
             # eager callers degrade to the XLA block matmul if Mosaic
             # rejects a geometry at compile time (jitted callers see
             # the compile error directly)
             return None
-        hl = self.history_len
-        nh = x[xlen - hl:] if (hl and xlen >= hl) else None
-        return y, nh
+        return res if hl else (res, None)
 
     def _block_args(self, xlen):
         """Host-side planning for the block-matmul device path: build

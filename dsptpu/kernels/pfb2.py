@@ -273,9 +273,9 @@ def _make_kernel(S, P_in, O_r, groups, D_c, off, r_lo, prec, R_sig,
 
 @functools.partial(jax.jit, static_argnames=(
     "S", "P_in", "O_r", "groups", "D_c", "off", "r_lo_t", "nst",
-    "precision", "interpret"))
+    "precision", "interpret", "n", "hist_len", "out_len"))
 def _pfb2_jit(x2, tab, S, P_in, O_r, groups, D_c, off, r_lo_t, nst,
-              precision, interpret):
+              precision, interpret, n=None, hist_len=0, out_len=None):
     # Mosaic does not lower Precision.HIGH for dot; "high" aliases to
     # HIGHEST (measured on v5e: DEFAULT is slower than HIGHEST here —
     # the lane-mixing tables are f32 and the bf16 split costs passes)
@@ -321,14 +321,27 @@ def _pfb2_jit(x2, tab, S, P_in, O_r, groups, D_c, off, r_lo_t, nst,
         ]),
         interpret=interpret,
     )(x2, x8, x8, tab)
+    if out_len is not None:
+        out = out.reshape(-1)[:out_len]
+    if hist_len:
+        # streaming-history tail fused into the same program: an
+        # eager x[n-hl:] slice of a large 1-D device signal costs
+        # ~0.5 ms in XLA relayouts per call (measured: the FIRFilter
+        # wrapper ran 2.0 ms where the kernel alone runs 0.95)
+        hist = jax.lax.dynamic_slice_in_dim(
+            x2.reshape(-1), n - hist_len, hist_len)
+        return out, hist
     return out
 
 
 def pfb2_resample_pallas(x, pfb, L, M, phi0, deficit, out_len,
-                         S=None, precision="highest", interpret=False):
+                         S=None, precision="highest", interpret=False,
+                         hist_len=0):
     """Rational polyphase resample of 1-D real f32 `x` (zero history).
     pfb: (taps_per_phi, L) bank (taps2pfb layout). Returns (out_len,)
-    f32 matching stream_filt's FIRFilter.filt output exactly."""
+    f32 matching stream_filt's FIRFilter.filt output exactly; with
+    hist_len > 0 returns (y, x[n-hist_len:]) with the history tail
+    computed inside the same jitted program (no extra dispatch)."""
     plan = pfb2_plan(pfb, L, M, int(phi0), int(deficit))
     if S is None:
         # measured on v5e 147//160 x 10M: streamed-table plans run
@@ -353,6 +366,7 @@ def pfb2_resample_pallas(x, pfb, L, M, phi0, deficit, out_len,
     if plan.tab_dev is None:
         plan.tab_dev = jax.device_put(plan.tab)
     tab = plan.tab_dev
-    out = _pfb2_jit(x2, tab, S, P_in, O_r, plan.groups, plan.D_c,
-                    plan.off, r_lo_t, nst, precision, interpret)
-    return out.reshape(-1)[:out_len]
+    res = _pfb2_jit(x2, tab, S, P_in, O_r, plan.groups, plan.D_c,
+                    plan.off, r_lo_t, nst, precision, interpret,
+                    n=n, hist_len=int(hist_len), out_len=int(out_len))
+    return res

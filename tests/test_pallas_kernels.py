@@ -474,11 +474,13 @@ def test_transpose2d_pallas(shape):
 
 
 def test_stft_kernel_tile_op_budget():
-    """The fused STFT kernel is VMEM-tile-op-bound: its runtime is
-    proportional to the number of big-tile VPU ops in the traced
-    kernel. Guard the welch-config count so a refactor can't silently
-    regress it (radix-2 stage 1 + reduce-side masking = 79 ops; the
-    exact-arithmetic minimum is ~73)."""
+    """Guard the welch-config traced big-tile op count so a refactor
+    can't silently regress it (radix-2 stage 1 + reduce-side masking
+    = 79 ops; the exact-arithmetic minimum is ~73). NOTE the round-3
+    device A/B showed runtime is NOT proportional to this count (the
+    plateau is per-step orchestration latency — DESIGN.md round-3
+    correction); the guard still catches gross op-count regressions
+    which DO cost VPU work at larger N1."""
     import jax
     from dsptpu.kernels.stft import _stft_pow_jit
     n, C, nfft, hop, TB = 1_000_000, 64, 1024, 512, 512
@@ -525,3 +527,47 @@ def test_stft_kernel_tile_op_budget():
     walk(kj.jaxpr if hasattr(kj, "jaxpr") else kj)
     assert cnt["vpu"] <= 82, f"welch kernel tile-op count grew: {cnt}"
     assert cnt["dot"] == 10, f"stage-2 matmul count changed: {cnt}"
+
+
+def test_pfb2_kernel_mosaic_lowerable_primitives():
+    """Interpret mode executes primitives Mosaic cannot lower —
+    round 3 shipped a pfb2 whose boundary branches emitted `scatter`
+    (.at[].set), which every interpret-mode test passed and every
+    real-TPU call paid as a ~24 ms retrace+fail+fallback. Guard the
+    traced kernel jaxpr against the known-unlowerable primitives."""
+    import jax
+    from fractions import Fraction
+    import dsptpu
+    from dsptpu.filters.stream_filt import (FIRFilter, taps2pfb,
+                                            outputlength)
+    from dsptpu.kernels import pfb2 as K2
+
+    r = Fraction(147, 160)
+    h = np.asarray(dsptpu.resample_filter(r)).astype(np.float32)
+    pfb = taps2pfb(h, 147)
+    f = FIRFilter(h, r)
+    k = f.kernel
+    n = 4_000_000
+    out_len = outputlength(n - k.input_deficit + 1, r, k.phi_idx)
+    plan = K2.pfb2_plan(pfb, 147, 160, k.phi_idx, k.input_deficit)
+    assert plan.tab.nbytes > (4 << 20), "config no longer streams"
+
+    x = jnp.zeros(n, jnp.float32)
+    closed = jax.make_jaxpr(lambda u: K2.pfb2_resample_pallas(
+        u, pfb, 147, 160, k.phi_idx, k.input_deficit, out_len))(x)
+
+    banned = {"scatter", "scatter-add", "scatter_add", "gather"}
+    hits = []
+
+    def walk(j):
+        for e in j.eqns:
+            if e.primitive.name in banned:
+                hits.append(e.primitive.name)
+            for v in e.params.values():
+                if hasattr(v, "jaxpr"):
+                    walk(v.jaxpr)
+                elif hasattr(v, "eqns"):
+                    walk(v)
+
+    walk(closed.jaxpr)
+    assert not hits, f"Mosaic-unlowerable primitives in pfb2: {hits}"
