@@ -29,20 +29,13 @@ import jax.numpy as jnp
 from .design import resample_filter
 
 __all__ = ["FIRFilter", "taps2pfb", "outputlength", "inputlength",
-           "resample", "polyphase_filt", "timedelay", "USE_PALLAS"]
+           "resample", "polyphase_filt", "timedelay"]
 
 
 def timedelay(f):
     """Group delay of a streaming filter in input samples (reference
     stream_filt.jl:400-403 exports the free function form)."""
     return f.timedelay()
-
-# Opt-in Pallas TPU kernel for the block-polyphase path (vector input):
-# fuses the overlapped framing into VMEM instead of materializing the
-# frame matrix in HBM (kernels/pfb.py). Off by default; set
-# dsptpu.filters.stream_filt.USE_PALLAS = True or DSPTPU_PALLAS=1.
-import os as _os
-USE_PALLAS = _os.environ.get("DSPTPU_PALLAS", "0") == "1"
 
 
 def taps2pfb(h, nphi):
@@ -699,7 +692,7 @@ class FIRFilter:
             phi0 = 1
         else:
             return None
-        from ..kernels.pfb2 import (pfb2_supported, pfb2_plan,
+        from ..kernels.pfb2 import (pfb2_supported, pfb2_table_nbytes,
                                     pfb2_resample_pallas)
         # cache the host bank + gate verdict on the kernel instance:
         # np.asarray(k.pfb_t) is a device->host readback and the gate
@@ -709,16 +702,12 @@ class FIRFilter:
             pfb_host = np.asarray(k.pfb_t).T      # (taps_per_phi, L)
             ok = pfb2_supported(L, M, pfb_host.shape[0], jnp.float32)
             # Default-on only where the kernel measured FASTER than
-            # the XLA block matmul on v5e: resident-table plans
-            # (<= 4 MB of lane-mixing tables riding whole in VMEM —
-            # 3//2 x 10M: 0.95 vs 1.40 ms, 1.47x). Streamed-table
-            # plans (e.g. 147//160, 23 MB ragged table re-DMA'd per
-            # tile) only reach XLA parity (0.834 vs 0.808 ms), so
-            # they stay opt-in (DSPTPU_PALLAS=1).
-            resident = ok and pfb2_plan(
-                pfb_host, L, M, int(phi0),
-                int(k.input_deficit)).tab.nbytes <= (4 << 20)
-            k._pfb2_gate = cached = (phi0, pfb_host, ok, resident)
+            # the XLA block matmul on v5e: resident-table plans. The
+            # size check is analytic — no multi-MB table build.
+            resident = ok and pfb2_table_nbytes(
+                pfb_host.shape[0], L, M, int(phi0),
+                int(k.input_deficit)) <= (4 << 20)
+            k._pfb2_gate = cached = [phi0, pfb_host, ok, resident]
         _, pfb_host, ok, resident = cached
         if not ok or (dspbase._PALLAS_OS is not True and not resident):
             return None
@@ -731,10 +720,19 @@ class FIRFilter:
             res = pfb2_resample_pallas(x, pfb_host, L, M, phi0,
                                        k.input_deficit, out_len,
                                        interpret=interp, hist_len=hl)
-        except Exception:
+        except Exception as e:
             # eager callers degrade to the XLA block matmul if Mosaic
             # rejects a geometry at compile time (jitted callers see
-            # the compile error directly)
+            # the compile error directly). Record the failure so later
+            # calls skip the ~24 ms retrace+fail penalty, and warn
+            # once instead of hiding real bugs.
+            cached[2] = False
+            k._pfb2_gate = cached
+            import warnings
+            warnings.warn(
+                f"pfb2 kernel rejected for L={L} M={M}: "
+                f"{type(e).__name__}: {e} — falling back to the XLA "
+                "block matmul for this kernel instance", RuntimeWarning)
             return None
         return res if hl else (res, None)
 
@@ -887,23 +885,7 @@ class FIRFilter:
                 if dcache is None or dcache[0] != dkey:
                     k._g_dev = dcache = (dkey, jnp.asarray(G, gdt))
                 Gd = dcache[1]
-                from ..ops.dspbase import _pallas_os_state
-                use_k, interp = _pallas_os_state()
-                # the opt-in old pfb kernel obeys the runtime kill
-                # switch too: with _PALLAS_OS forced False the state
-                # is (False, *) and its interp value is meaningless —
-                # running the kernel anyway used to crash on CPU
-                # (interpret=False on the cpu backend)
-                if USE_PALLAS and use_k and x.ndim == 1 \
-                        and not jnp.iscomplexobj(x) \
-                        and not jnp.iscomplexobj(Gd):
-                    from ..kernels.pfb import pfb_block_filt_pallas
-                    xcat = jnp.concatenate([self.history, x], axis=0) \
-                        if self.history_len else x
-                    y = pfb_block_filt_pallas(xcat, Gd, s0=s0, B=B, M=M,
-                                              W=W,
-                                              interpret=interp)[:out_len]
-                elif self.history_len:
+                if self.history_len:
                     y, newhist = _block_filt_step(self.history, x, Gd,
                                                   s0, B, M, W, out_len)
                 else:

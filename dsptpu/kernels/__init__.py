@@ -1,1 +1,1 @@
-from .pfb import pfb_block_filt_pallas, pallas_available
+from .pfb2 import pallas_available

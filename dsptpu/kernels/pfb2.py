@@ -61,7 +61,7 @@ except Exception:  # pragma: no cover
     pallas_available = False
 
 __all__ = ["pfb2_supported", "pfb2_plan", "pfb2_resample_pallas",
-           "pallas_available"]
+           "pfb2_table_nbytes", "pallas_available"]
 
 
 def _superchunk(L, M):
@@ -87,6 +87,37 @@ def pfb2_supported(L, M, taps, dtype):
     return (M + taps - 1) <= 7 * 128 and taps - 1 <= 8 * 128
 
 
+def _class_geometry(taps, L, M, phi0, deficit):
+    """Window starts/PFB columns per output lane of each class, and
+    the per-class input-row band — the geometry alone, without the
+    O(O_r*D*128*128) table build."""
+    k = _superchunk(L, M)
+    P_in = k * M // 128
+    O_r = k * L // 128
+    # window start (x coords, may be negative: zero history) and
+    # PFB column per output lane of each class
+    j = np.arange(k * L)
+    b, p = j // L, j % L
+    q = phi0 - 1 + M * p
+    w = (deficit - 1 - (taps - 1)) + b * M + q // L
+    col = q % L
+    w = w.reshape(O_r, 128)
+    col = col.reshape(O_r, 128)
+    r_lo = np.floor_divide(w.min(axis=1), 128)            # (O_r,)
+    r_hi = np.floor_divide(w.max(axis=1) + taps - 1, 128)
+    D_c = (r_hi - r_lo + 1).astype(np.int64)              # per-class band
+    return k, P_in, O_r, w, col, r_lo, D_c
+
+
+def pfb2_table_nbytes(taps, L, M, phi0, deficit):
+    """Predicted ragged-packed tap-table size in bytes, from the window
+    geometry alone — lets the dispatch gate reject non-resident configs
+    without paying the multi-MB table build (the full _Pfb2Plan for
+    147//160 allocates a ~38 MB dense intermediate)."""
+    *_, D_c = _class_geometry(taps, L, M, int(phi0), int(deficit))
+    return int(D_c.sum()) * 128 * 128 * 4
+
+
 class _Pfb2Plan:
     """Host geometry + tables for one (pfb, L, M, phi0, deficit)."""
 
@@ -96,21 +127,8 @@ class _Pfb2Plan:
     def __init__(self, pfb, L, M, phi0, deficit):
         taps, nphi = pfb.shape
         assert nphi == L
-        k = _superchunk(L, M)
-        P_in = k * M // 128
-        O_r = k * L // 128
-        # window start (x coords, may be negative: zero history) and
-        # PFB column per output lane of each class
-        j = np.arange(k * L)
-        b, p = j // L, j % L
-        q = phi0 - 1 + M * p
-        w = (deficit - 1 - (taps - 1)) + b * M + q // L
-        col = q % L
-        w = w.reshape(O_r, 128)
-        col = col.reshape(O_r, 128)
-        r_lo = np.floor_divide(w.min(axis=1), 128)        # (O_r,)
-        r_hi = np.floor_divide(w.max(axis=1) + taps - 1, 128)
-        D_c = (r_hi - r_lo + 1).astype(np.int64)          # per-class band
+        k, P_in, O_r, w, col, r_lo, D_c = _class_geometry(
+            taps, L, M, phi0, deficit)
         D = int(D_c.max())
         tab = np.zeros((O_r, D, 128, 128), np.float32)
         c_idx = np.repeat(np.arange(O_r), 128)
@@ -366,7 +384,11 @@ def pfb2_resample_pallas(x, pfb, L, M, phi0, deficit, out_len,
     if plan.tab_dev is None:
         plan.tab_dev = jax.device_put(plan.tab)
     tab = plan.tab_dev
+    # n is only consumed by the history-tail slice: keying the jit
+    # cache on it for hist_len==0 would retrace per distinct un-padded
+    # length for no reason
     res = _pfb2_jit(x2, tab, S, P_in, O_r, plan.groups, plan.D_c,
                     plan.off, r_lo_t, nst, precision, interpret,
-                    n=n, hist_len=int(hist_len), out_len=int(out_len))
+                    n=(n if hist_len else None),
+                    hist_len=int(hist_len), out_len=int(out_len))
     return res
