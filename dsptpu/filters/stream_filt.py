@@ -692,7 +692,7 @@ class FIRFilter:
             phi0 = 1
         else:
             return None
-        from ..kernels.pfb2 import (pfb2_supported, pfb2_table_nbytes,
+        from ..kernels.pfb2 import (pfb2_supported, pfb2_default_on,
                                     pfb2_resample_pallas)
         # cache the host bank + gate verdict on the kernel instance:
         # np.asarray(k.pfb_t) is a device->host readback and the gate
@@ -702,14 +702,15 @@ class FIRFilter:
             pfb_host = np.asarray(k.pfb_t).T      # (taps_per_phi, L)
             ok = pfb2_supported(L, M, pfb_host.shape[0], jnp.float32)
             # Default-on only where the kernel measured FASTER than
-            # the XLA block matmul on v5e: resident-table plans. The
-            # size check is analytic — no multi-MB table build.
-            resident = ok and pfb2_table_nbytes(
+            # the XLA block matmul on v5e: resident-table plans and
+            # few-group grouped plans (147//160). The verdict is
+            # analytic — no multi-MB table build.
+            fast = ok and pfb2_default_on(
                 pfb_host.shape[0], L, M, int(phi0),
-                int(k.input_deficit)) <= (4 << 20)
-            k._pfb2_gate = cached = [phi0, pfb_host, ok, resident]
-        _, pfb_host, ok, resident = cached
-        if not ok or (dspbase._PALLAS_OS is not True and not resident):
+                int(k.input_deficit))
+            k._pfb2_gate = cached = [phi0, pfb_host, ok, fast]
+        _, pfb_host, ok, fast = cached
+        if not ok or (dspbase._PALLAS_OS is not True and not fast):
             return None
         hl = self.history_len if (self.history_len
                                   and xlen >= self.history_len) else 0

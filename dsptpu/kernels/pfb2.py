@@ -30,9 +30,16 @@ class loop is python-static, each (c, d) is ONE strided sublane load
 A[r_lo(c)+d :: P_in] -> (S, 128), one (S,128)@(128,128) MXU matmul,
 and each class ends with ONE strided sublane store to the contiguous
 output block. The signal is consumed as its natural (rows, 128)
-bitcast — no pads, no reshapes, no frame materialization. Tap tables
-stream from HBM in class groups with double-buffered manual DMA (the
-full table, O_r*D*64 KB, can exceed VMEM).
+bitcast — no pads, no reshapes, no frame materialization.
+
+Tables larger than the VMEM residency cap run in GROUPED mode: a
+(G, nst) grid with the group index OUTER, classes partitioned into G
+contiguous blocks whose packed sub-table rides as one single-buffered
+VMEM block indexed by g alone — the Pallas pipeline skips refetching a
+block whose index did not change, so each group's table is read from
+HBM exactly once per call while the signal is re-read G times (G=3 for
+147//160: ~185 MB total traffic vs ~335 MB for the round-3 per-tile
+table streaming this mode replaces).
 
 Superchunk-boundary rows (a class window crossing into the next
 superchunk, or the zero history before the signal start) read the
@@ -118,11 +125,45 @@ def pfb2_table_nbytes(taps, L, M, phi0, deficit):
     return int(D_c.sum()) * 128 * 128 * 4
 
 
+def pfb2_default_on(taps, L, M, phi0, deficit, max_G=3):
+    """Analytic dispatch verdict (no table build): True where the
+    kernel measured faster than the XLA block matmul on v5e — resident
+    plans (whole table in VMEM) and grouped plans with few groups (the
+    grouped kernel re-reads the signal once per group, so its traffic
+    win over XLA shrinks as G grows; 147//160 is G=3)."""
+    *_, D_c = _class_geometry(taps, L, M, int(phi0), int(deficit))
+    if int(D_c.sum()) * 128 * 128 * 4 <= _RESIDENT_CAP:
+        return True
+    _, G, _ = _group_partition(D_c)
+    return 1 < G <= max_G
+
+
+_RESIDENT_CAP = 4 << 20      # whole table rides in VMEM below this
+_GRP_CAP_ROWS = 15360        # 7.5 MB per single-buffered group block
+
+
+def _group_partition(D_c, cap_rows=_GRP_CAP_ROWS):
+    """Largest class-block size Cg (< O_r) dividing O_r whose packed
+    per-group table fits cap_rows; returns (Cg, G, rows_per_group).
+    Fewer groups = fewer re-reads of the signal (the grouped kernel's
+    input traffic scales with G)."""
+    Dc = np.asarray(D_c)
+    O_r = len(Dc)
+    for C in sorted((c for c in range(1, O_r) if O_r % c == 0),
+                    reverse=True):
+        G = O_r // C
+        rows = [int(Dc[g * C:(g + 1) * C].sum()) * 128 for g in range(G)]
+        if max(rows) <= cap_rows:
+            return C, G, rows
+    return 1, O_r, [int(v) * 128 for v in Dc]
+
+
 class _Pfb2Plan:
     """Host geometry + tables for one (pfb, L, M, phi0, deficit)."""
 
     __slots__ = ("k", "P_in", "O_r", "D", "D_c", "D_avg", "off", "tab",
-                 "r_lo", "L", "M", "taps", "groups", "tab_dev")
+                 "r_lo", "L", "M", "taps", "tab_dev",
+                 "Cg", "G", "grp_stride", "tabg", "off_rel", "tabg_dev")
 
     def __init__(self, pfb, L, M, phi0, deficit):
         taps, nphi = pfb.shape
@@ -157,22 +198,36 @@ class _Pfb2Plan:
         self.k, self.P_in, self.O_r, self.D = k, P_in, O_r, D
         self.r_lo = r_lo.astype(np.int64)
         self.L, self.M, self.taps = L, M, taps
-        # contiguous class groups for table streaming, ~2 MB (4096
-        # rows) per group: (c0, c1, row0, nrows) with python-static
-        # bounds so each group's DMA has a static slice
-        gcap = 4096
-        groups = []
-        c0 = 0
-        while c0 < O_r:
-            c1 = c0 + 1
-            while (c1 < O_r
-                   and self.off[c1 + 1] - self.off[c0] <= gcap):
-                c1 += 1
-            groups.append((c0, c1, self.off[c0],
-                           self.off[c1] - self.off[c0]))
-            c0 = c1
-        self.groups = tuple(groups)
         self.tab_dev = None      # device copy, uploaded once on use
+        # grouped mode (tables too big for VMEM residency): classes
+        # partitioned into G contiguous blocks of Cg = O_r/G; each
+        # group's ragged table packs at a uniform grp_stride so the
+        # group block rides as ONE single-buffered VMEM BlockSpec that
+        # stays resident across all signal tiles of that group (the
+        # round-3 streamed mode re-DMA'd the whole table per tile —
+        # ~7x the signal traffic for 147//160)
+        if self.tab.nbytes <= _RESIDENT_CAP:
+            self.Cg, self.G = O_r, 1
+            grp_rows = None
+        else:
+            self.Cg, self.G, grp_rows = _group_partition(D_c)
+        if self.G > 1:
+            self.grp_stride = -(-max(grp_rows) // 8) * 8
+            tabg = np.zeros((self.G * self.grp_stride, 128), np.float32)
+            for g in range(self.G):
+                r0 = self.off[g * self.Cg]
+                tabg[g * self.grp_stride:
+                     g * self.grp_stride + grp_rows[g]] = \
+                    self.tab[r0: r0 + grp_rows[g]]
+            self.tabg = tabg
+            self.off_rel = tuple(
+                self.off[c] - self.off[(c // self.Cg) * self.Cg]
+                for c in range(O_r))
+        else:
+            self.grp_stride = 0
+            self.tabg = None
+            self.off_rel = self.off[:-1]
+        self.tabg_dev = None
 
 
 _plan_cache = {}
@@ -189,129 +244,148 @@ def pfb2_plan(pfb, L, M, phi0, deficit):
     return hit
 
 
-def _make_kernel(S, P_in, O_r, groups, D_c, off, r_lo, prec, R_sig,
-                 resident=False):
-    """Kernel body with all class geometry baked as python constants.
-    Args: xa (S*P_in, 128) input tile, xprev/xnext (1, 8, 128) side
-    views, tab_hbm (sum_c D_c*128, 128) ragged-packed tables in HBM,
-    o_ref (S*O_r, 128), scratch (2, max_group_rows, 128), sem (2,).
-    Rows at or after the signal end (absolute row >= R_sig) are
+def _class_body(xa, xprev, xnext, st, sup, dot, S, P_in, R_sig,
+                r_lo_c, D_c_c, tab_at):
+    """Accumulate one output class: sum over the D_c band rows of a
+    strided (S, 128) load @ the class's 128x128 lane-mixing table.
+    Boundary rows (a window reaching into the previous/next super)
+    realign a one-super-off strided read with pltpu.roll and substitute
+    the tile-crossing super from the 8-row side views via a where on
+    the super iota (.at[].set is a scatter, which Mosaic does not
+    lower). Rows at/after the signal end (absolute row >= R_sig) are
     zero-masked: the last partial output row mixes valid and
-    past-the-end lanes, and an unmasked OOB read would poison the
-    valid lanes through the lane-mixing matmul. With resident=True the
-    whole table rides in VMEM as a constant block (small ratios — no
-    DMA machinery) and the kernel takes no scratch/sem args."""
+    past-the-end lanes, and an unmasked OOB read would poison the valid
+    lanes through the lane-mixing matmul."""
+    base = st * (S * P_in)
+    acc = None
+    for d in range(D_c_c):
+        rr = r_lo_c + d
+        T = tab_at(d)
+        if rr < 0:
+            # super s needs in-tile row s*P_in + rr (the previous
+            # super's tail); one full-S strided read at start P_in+rr
+            # gives element s = need(s+1), so roll(+1) realigns (row 0
+            # wraps garbage) and super 0's row — the previous TILE's
+            # tail (zero history at st==0) — is substituted from xprev.
+            rows = xa[pl.Slice(P_in + rr, S, P_in), :]
+            y = pltpu.roll(dot(rows, T), 1, axis=0)
+            prev = dot(xprev[0, 8 + rr, :][None, :], T)
+            prev = jnp.where(st > 0, prev, 0.0)
+            live = base + rr + P_in * sup < R_sig
+            part = jnp.where(live, jnp.where(sup == 0, prev, y), 0.0)
+        elif rr >= P_in:
+            # super s needs row s*P_in + rr (the NEXT super's head); a
+            # full-S strided read at start rr-P_in gives element s =
+            # need(s-1): roll(-1) realigns (last row wraps garbage) and
+            # super S-1 — the next tile's head — comes from xnext.
+            rows = xa[pl.Slice(rr - P_in, S, P_in), :]
+            # roll by S-1 == roll by -1 (shift must be non-negative)
+            y = pltpu.roll(dot(rows, T), S - 1, axis=0)
+            nxt = dot(xnext[0, rr - P_in, :][None, :], T)
+            live = base + rr + P_in * sup < R_sig
+            part = jnp.where(live, jnp.where(sup == S - 1, nxt, y), 0.0)
+        else:
+            rows = xa[pl.Slice(rr, S, P_in), :]
+            live = base + rr + P_in * sup < R_sig
+            part = dot(jnp.where(live, rows, 0.0), T)
+        acc = part if acc is None else acc + part
+    return acc
 
-    def kern(xa, xprev, xnext, tab_hbm, o_ref, scratch=None, sem=None):
+
+def _make_kernel_resident(S, P_in, O_r, D_c, off, r_lo, prec, R_sig):
+    """1-D grid over signal tiles; the whole ragged-packed table rides
+    in VMEM as a constant block. Args: xa (S*P_in, 128) input tile,
+    xprev/xnext (1, 8, 128) side views, tab (rows, 128) table,
+    o_ref (S*O_r, 128)."""
+
+    def kern(xa, xprev, xnext, tab, o_ref):
         st = pl.program_id(0)
         dot = functools.partial(jnp.dot,
                                 preferred_element_type=jnp.float32,
                                 precision=prec)
         sup = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
-        base = st * (S * P_in)
-
-        def masked(rows, rr, nsup, supv):
-            live = base + rr + P_in * supv < R_sig
-            return jnp.where(live, rows, 0.0)
-
-        def start_copy(g, slot):
-            c0, c1, row0, nrows = groups[g]
-            pltpu.make_async_copy(
-                tab_hbm.at[pl.ds(row0, nrows), :],
-                scratch.at[slot, pl.ds(0, nrows), :],
-                sem.at[slot]).start()
-
-        if not resident:
-            start_copy(0, 0)
-        for g in range(len(groups)):
-            slot = g % 2
-            c0, c1, row0, nrows = groups[g]
-            if not resident:
-                if g + 1 < len(groups):
-                    start_copy(g + 1, (g + 1) % 2)
-                pltpu.make_async_copy(
-                    tab_hbm.at[pl.ds(row0, nrows), :],
-                    scratch.at[slot, pl.ds(0, nrows), :],
-                    sem.at[slot]).wait()
-            for c in range(c0, c1):
-                r0c = r_lo[c]
-                acc = None
-                for d in range(D_c[c]):
-                    rr = r0c + d
-                    if resident:
-                        T = tab_hbm[off[c] + d * 128:
-                                    off[c] + (d + 1) * 128, :]
-                    else:
-                        loc = off[c] - row0
-                        T = scratch[slot, loc + d * 128:
-                                    loc + (d + 1) * 128, :]
-                    if rr < 0:
-                        # super s needs in-tile row s*P_in + rr (the
-                        # previous super's tail); one full-S strided
-                        # read at start P_in+rr gives element s =
-                        # need(s+1), so roll(+1) realigns (row 0 wraps
-                        # garbage) and super 0's row — the previous
-                        # TILE's tail (zero history at st==0) — is
-                        # substituted by a where on the super iota.
-                        # (.at[].set is a scatter, which Mosaic does
-                        # not lower — roll+where only.)
-                        rows = xa[pl.Slice(P_in + rr, S, P_in), :]
-                        y = pltpu.roll(dot(rows, T), 1, axis=0)
-                        prev = dot(xprev[0, 8 + rr, :][None, :], T)
-                        prev = jnp.where(st > 0, prev, 0.0)
-                        live = base + rr + P_in * sup < R_sig
-                        part = jnp.where(live,
-                                         jnp.where(sup == 0, prev, y),
-                                         0.0)
-                    elif rr >= P_in:
-                        # super s needs row s*P_in + rr (the NEXT
-                        # super's head); a full-S strided read at
-                        # start rr-P_in gives element s = need(s-1):
-                        # roll(-1) realigns (last row wraps garbage)
-                        # and super S-1 — the next tile's head — is
-                        # substituted via the super iota.
-                        rows = xa[pl.Slice(rr - P_in, S, P_in), :]
-                        # roll by S-1 == roll by -1 (shift must be
-                        # non-negative)
-                        y = pltpu.roll(dot(rows, T), S - 1, axis=0)
-                        nxt = dot(xnext[0, rr - P_in, :][None, :], T)
-                        live = base + rr + P_in * sup < R_sig
-                        part = jnp.where(live,
-                                         jnp.where(sup == S - 1, nxt,
-                                                   y),
-                                         0.0)
-                    else:
-                        rows = xa[pl.Slice(rr, S, P_in), :]
-                        part = dot(masked(rows, rr, S, sup), T)
-                    acc = part if acc is None else acc + part
-                o_ref[pl.Slice(c, S, O_r), :] = acc
+        for c in range(O_r):
+            acc = _class_body(
+                xa, xprev, xnext, st, sup, dot, S, P_in, R_sig,
+                r_lo[c], D_c[c],
+                lambda d, c=c: tab[off[c] + d * 128:
+                                   off[c] + (d + 1) * 128, :])
+            o_ref[pl.Slice(c, S, O_r), :] = acc
 
     return kern
 
 
+def _make_kernel_grouped(S, P_in, O_r, Cg, G, D_c, off_rel, r_lo, prec,
+                         R_sig):
+    """2-D grid (group, signal tile), group OUTER: the current group's
+    packed table block is indexed by g only, so the Pallas pipeline
+    fetches it ONCE per group and it stays resident across every signal
+    tile (the round-3 streamed mode paid the full table per tile, ~7x
+    the signal traffic at 147//160). Each grid step computes the
+    group's Cg classes for one tile; the class geometry is baked as
+    python constants per pl.when(g == gi) branch. Output block is the
+    (S, 1, Cg, 128) slice of the (nst*S, G, Cg, 128) buffer, which is
+    time-major when flattened (classes are assigned to groups in
+    order). Reference hot loop: stream_filt.jl:476-515."""
+
+    def kern(xa, xprev, xnext, tabg, o_ref):
+        g = pl.program_id(0)
+        st = pl.program_id(1)
+        dot = functools.partial(jnp.dot,
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        sup = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+        for gi in range(G):
+            @pl.when(g == gi)
+            def _(gi=gi):
+                for ci in range(Cg):
+                    c = gi * Cg + ci
+                    acc = _class_body(
+                        xa, xprev, xnext, st, sup, dot, S, P_in, R_sig,
+                        r_lo[c], D_c[c],
+                        lambda d, c=c: tabg[off_rel[c] + d * 128:
+                                            off_rel[c] + (d + 1) * 128,
+                                            :])
+                    o_ref[:, 0, ci, :] = acc
+
+    return kern
+
+
+def _finish(out, x2, n, hist_len, out_len):
+    if out_len is not None:
+        out = out.reshape(-1)[:out_len]
+    if hist_len:
+        # streaming-history tail fused into the same program: an
+        # eager x[n-hl:] slice of a large 1-D device signal costs
+        # ~0.5 ms in XLA relayouts per call (measured: the FIRFilter
+        # wrapper ran 2.0 ms where the kernel alone runs 0.95)
+        hist = jax.lax.dynamic_slice_in_dim(
+            x2.reshape(-1), n - hist_len, hist_len)
+        return out, hist
+    return out
+
+
+# Mosaic does not lower Precision.HIGH for dot; "high" aliases to
+# HIGHEST (measured on v5e: DEFAULT is slower than HIGHEST here —
+# the lane-mixing tables are f32 and the bf16 split costs passes)
+_PRECS = {"highest": jax.lax.Precision.HIGHEST,
+          "high": jax.lax.Precision.HIGHEST,
+          "default": jax.lax.Precision.DEFAULT}
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "S", "P_in", "O_r", "groups", "D_c", "off", "r_lo_t", "nst",
+    "S", "P_in", "O_r", "D_c", "off", "r_lo_t", "nst",
     "precision", "interpret", "n", "hist_len", "out_len"))
-def _pfb2_jit(x2, tab, S, P_in, O_r, groups, D_c, off, r_lo_t, nst,
+def _pfb2_jit(x2, tab, S, P_in, O_r, D_c, off, r_lo_t, nst,
               precision, interpret, n=None, hist_len=0, out_len=None):
-    # Mosaic does not lower Precision.HIGH for dot; "high" aliases to
-    # HIGHEST (measured on v5e: DEFAULT is slower than HIGHEST here —
-    # the lane-mixing tables are f32 and the bf16 split costs passes)
-    prec = {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGHEST,
-            "default": jax.lax.Precision.DEFAULT}[precision]
+    prec = _PRECS[precision]
     R = x2.shape[0]
     R8 = max(R // 8, 1)
     x8 = x2[: R8 * 8].reshape(R8, 8, 128)
     tile_rows = S * P_in
     t8 = tile_rows // 8
-    tab_rows = off[-1]
-    # small tables ride whole in VMEM (no DMA machinery): saves the
-    # per-tile group streaming for the common small-ratio kernels
-    resident = tab_rows * 128 * 4 <= (4 << 20)
-    max_grp = max(g[3] for g in groups)
-    kern = _make_kernel(S, P_in, O_r, groups, D_c, off, r_lo_t, prec,
-                        R, resident=resident)
+    tab_rows = off[-1] + D_c[-1] * 128
+    kern = _make_kernel_resident(S, P_in, O_r, D_c, off, r_lo_t, prec, R)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((nst * S * O_r, 128),
@@ -327,29 +401,64 @@ def _pfb2_jit(x2, tab, S, P_in, O_r, groups, D_c, off, r_lo_t, nst,
                          lambda st: (jnp.minimum(
                              (st + 1) * t8, R8 - 1), 0, 0),
                          memory_space=pltpu.VMEM),
-            (pl.BlockSpec((tab_rows, 128), lambda st: (0, 0),
-                          memory_space=pltpu.VMEM) if resident
-             else pl.BlockSpec(memory_space=pltpu.HBM)),
+            pl.BlockSpec((tab_rows, 128), lambda st: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((S * O_r, 128), lambda st: (st, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=([] if resident else [
-            pltpu.VMEM((2, max_grp, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]),
         interpret=interpret,
     )(x2, x8, x8, tab)
-    if out_len is not None:
-        out = out.reshape(-1)[:out_len]
-    if hist_len:
-        # streaming-history tail fused into the same program: an
-        # eager x[n-hl:] slice of a large 1-D device signal costs
-        # ~0.5 ms in XLA relayouts per call (measured: the FIRFilter
-        # wrapper ran 2.0 ms where the kernel alone runs 0.95)
-        hist = jax.lax.dynamic_slice_in_dim(
-            x2.reshape(-1), n - hist_len, hist_len)
-        return out, hist
-    return out
+    return _finish(out, x2, n, hist_len, out_len)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "S", "P_in", "O_r", "Cg", "G", "grp_stride", "D_c", "off_rel",
+    "r_lo_t", "nst", "precision", "interpret", "n", "hist_len",
+    "out_len"))
+def _pfb2_jit_grouped(x2, tabg, S, P_in, O_r, Cg, G, grp_stride, D_c,
+                      off_rel, r_lo_t, nst, precision, interpret,
+                      n=None, hist_len=0, out_len=None):
+    prec = _PRECS[precision]
+    R = x2.shape[0]
+    R8 = max(R // 8, 1)
+    x8 = x2[: R8 * 8].reshape(R8, 8, 128)
+    tile_rows = S * P_in
+    t8 = tile_rows // 8
+    kern = _make_kernel_grouped(S, P_in, O_r, Cg, G, D_c, off_rel,
+                                r_lo_t, prec, R)
+    # the group table is single-buffered: its block index changes only
+    # at group boundaries (G-1 times per call), so double-buffering
+    # would spend grp_stride*512 bytes of VMEM to hide G-1 transfers
+    tab_spec = pl.BlockSpec((grp_stride, 128), lambda g, st: (g, 0),
+                            memory_space=pltpu.VMEM)
+    if not interpret:
+        tab_spec = pl.BlockSpec((grp_stride, 128), lambda g, st: (g, 0),
+                                memory_space=pltpu.VMEM,
+                                pipeline_mode=pl.Buffered(buffer_count=1))
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((nst * S, G, Cg, 128),
+                                       jnp.float32),
+        grid=(G, nst),
+        in_specs=[
+            pl.BlockSpec((tile_rows, 128), lambda g, st: (st, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128),
+                         lambda g, st: (jnp.maximum(st * t8 - 1, 0),
+                                        0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128),
+                         lambda g, st: (jnp.minimum(
+                             (st + 1) * t8, R8 - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            tab_spec,
+        ],
+        out_specs=pl.BlockSpec((S, 1, Cg, 128),
+                               lambda g, st: (st, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, x8, x8, tabg)
+    return _finish(out, x2, n, hist_len, out_len)
 
 
 def pfb2_resample_pallas(x, pfb, L, M, phi0, deficit, out_len,
@@ -361,11 +470,18 @@ def pfb2_resample_pallas(x, pfb, L, M, phi0, deficit, out_len,
     hist_len > 0 returns (y, x[n-hist_len:]) with the history tail
     computed inside the same jitted program (no extra dispatch)."""
     plan = pfb2_plan(pfb, L, M, int(phi0), int(deficit))
+    grouped = plan.G > 1
     if S is None:
-        # measured on v5e 147//160 x 10M: streamed-table plans run
-        # best at S=48 (0.834 ms vs 1.007 at S=64); resident-table
-        # plans at S=64; S=80+ exceeds the 16 MB VMEM budget
-        S = 64 if plan.tab.nbytes <= (4 << 20) else 48
+        if grouped:
+            # VMEM budget: 1x group table + 2x input tile + 2x out tile
+            # (+ side views); solve for S, snap down to a multiple of 8
+            free = (14 << 20) - plan.grp_stride * 512
+            S = max(free // ((plan.P_in + plan.Cg) * 1024), 8)
+            S = min((S // 8) * 8, 64)
+        else:
+            # measured on v5e: resident-table plans run best at S=64;
+            # S=80+ exceeds the 16 MB VMEM budget
+            S = 64
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
     R = -(-n // 128)
@@ -378,17 +494,24 @@ def pfb2_resample_pallas(x, pfb, L, M, phi0, deficit, out_len,
     S = max(2, min(S, nsuper))
     nst = -(-nsuper // S)
     r_lo_t = tuple(int(v) for v in plan.r_lo)
-    # upload the (multi-MB) tap table once per plan, not per call —
-    # a fresh host->device transfer of the table can cost more than
-    # the kernel (round-2 G-cache lesson, stream_filt._block_args)
-    if plan.tab_dev is None:
-        plan.tab_dev = jax.device_put(plan.tab)
-    tab = plan.tab_dev
     # n is only consumed by the history-tail slice: keying the jit
     # cache on it for hist_len==0 would retrace per distinct un-padded
     # length for no reason
-    res = _pfb2_jit(x2, tab, S, P_in, O_r, plan.groups, plan.D_c,
-                    plan.off, r_lo_t, nst, precision, interpret,
-                    n=(n if hist_len else None),
-                    hist_len=int(hist_len), out_len=int(out_len))
-    return res
+    n_key = n if hist_len else None
+    if grouped:
+        # upload the (multi-MB) tap table once per plan, not per call —
+        # a fresh host->device transfer of the table can cost more than
+        # the kernel (round-2 G-cache lesson, stream_filt._block_args)
+        if plan.tabg_dev is None:
+            plan.tabg_dev = jax.device_put(plan.tabg)
+        return _pfb2_jit_grouped(
+            x2, plan.tabg_dev, S, P_in, O_r, plan.Cg, plan.G,
+            plan.grp_stride, plan.D_c, plan.off_rel, r_lo_t, nst,
+            precision, interpret, n=n_key, hist_len=int(hist_len),
+            out_len=int(out_len))
+    if plan.tab_dev is None:
+        plan.tab_dev = jax.device_put(plan.tab)
+    return _pfb2_jit(x2, plan.tab_dev, S, P_in, O_r, plan.D_c,
+                     plan.off[:-1], r_lo_t, nst, precision, interpret,
+                     n=n_key, hist_len=int(hist_len),
+                     out_len=int(out_len))
