@@ -190,107 +190,204 @@ def _pfb_dot_arb(xcat, pfb_t, dpfb_t, end_idx, phi_idx, alpha, winlen):
     return out.reshape((flat.shape[0],) + xcat.shape[1:])
 
 
-def _arb_segment_plan(x_idx, phi_idx, out_len, nphi, winlen,
-                      lcap=128):
-    """Host planning for the near-unity-rate fast path: split outputs
-    into maximal runs with constant phase AND unit input stride (for
-    rates near 1 the phase accumulator drifts slowly, so runs are long;
-    reference stream_filt.jl:567-577 semantics are preserved exactly —
-    this only regroups the per-output dots). Runs longer than lcap are
-    chopped so the banded tap table stays small. Returns None when runs
-    are too short to beat the all-phase path."""
-    if out_len < 1024:
+def _arb_drift_plan(x_idx, phi_idx, alpha, out_len, nphi, winlen,
+                    K=8, seg_cap=1 << 19):
+    """Host planning for the gather-free drift-scan path.
+
+    TPU gathers run at ~150 MB/s effective (measured v5e: the round-3
+    segment path spent 33 of 47 ms in its two element-gathers), so this
+    path uses NONE. Outputs are chopped into fixed SEG-length blocks
+    such that the input-position drift d(j) = x_idx(j)-1-j moves by
+    less than K inside any block; a lax.scan visits blocks in order,
+    and all per-output irregularity is carried by three device arrays
+    (per-position phase/alpha, per-output drift residue) consumed with
+    static shifts and one-hot selects — never an index gather.
+
+    Returns None (caller falls back to the all-phase conv path) when
+    the drift is too fast for a useful SEG (rates far from 1) or the
+    output is small. Reference semantics: stream_filt.jl:567-625."""
+    if out_len < 4096:
         return None
-    brk = np.nonzero((np.diff(phi_idx) != 0)
-                     | (np.diff(x_idx) != 1))[0] + 1
-    starts = np.concatenate([[0], brk]).astype(np.int64)
-    ends = np.concatenate([brk, [out_len]]).astype(np.int64)
-    lens = ends - starts
-    if lens.mean() < 16:
+    j = np.arange(out_len, dtype=np.int64)
+    d = x_idx.astype(np.int64) - 1 - j          # monotone staircase
+    steps = np.nonzero(np.diff(d))[0]
+    # drift period from gaps BETWEEN steps (the first step can land
+    # anywhere, e.g. at output 0 when the accumulator starts on a
+    # phase wrap); the exact dv < K check below still guards any
+    # pathological clustering
+    spacing = int(np.diff(steps).min()) if len(steps) > 1 else out_len
+    # size K (drift span per block) so the scan runs ~48 big blocks:
+    # the per-iteration fixed costs, not FLOPs, dominated the v1
+    # measurement (429 blocks ran 109 ms; the work itself models at
+    # a few ms)
+    K = int(np.clip(-(-out_len // (spacing * _DRIFT_ITERS)) + 2, K, 96))
+    SEG = min(seg_cap, max((K - 1) * spacing, 0))
+    SEG -= SEG % 2
+    if SEG < 2048:
+        return None                              # too drift-y: all-phase
+    niter = -(-out_len // SEG)
+    out_pad = niter * SEG
+    o = np.arange(niter) * SEG
+    # block base position: min position used inside the block, so the
+    # drift residue dv is non-negative for either drift direction
+    dpad = np.concatenate([d, np.full(out_pad - out_len, d[-1])])
+    dblk = dpad.reshape(niter, SEG)
+    dmin = dblk.min(axis=1)
+    dv = (dblk - dmin[:, None]).reshape(-1)
+    if dv.max() >= K:
         return None
-    # chop runs at lcap
-    s2 = []
-    for s, e in zip(starts, ends):
-        for c in range(s, e, lcap):
-            s2.append(c)
-    starts = np.asarray(s2, np.int64)
-    ends = np.minimum(starts + lcap, np.concatenate(
-        [starts[1:], [out_len]]))
-    # segment bounds: each start belongs to its original run; end is
-    # min(start + lcap, next start)
-    lens = ends - starts
-    phases = phi_idx[starts]
-    order = np.argsort(phases, kind="stable")
-    starts_s, lens_s, phases_s = starts[order], lens[order], phases[order]
-    nseg = len(starts_s)
-    Lm = int(lens.max())
-    W = Lm + winlen - 1
-    # group boundaries per phase value (static for the jit)
-    bounds = np.searchsorted(phases_s, np.arange(nphi + 1))
-    # F gather rows: e0 - (winlen-1) + t (e0 = 0-based window end of
-    # the run's first output inside x, caller adds history offset)
-    e0 = x_idx[starts_s] - 1       # 1-based -> 0-based within x part
-    gather_rows = e0[:, None] - (winlen - 1) + np.arange(W)[None, :]
-    # output reassembly: out j -> (sorted segment row, in-segment col)
-    seg_of = np.zeros(out_len, np.int64)
-    seg_of[starts[1:]] = 1
-    seg_of = np.cumsum(seg_of)            # unsorted segment id
-    inv = np.empty(nseg, np.int64)
-    inv[order] = np.arange(nseg)
-    w_of = np.arange(out_len) - starts[seg_of]
-    gidx = inv[seg_of] * Lm + w_of
-    return (gather_rows, tuple(int(b) for b in bounds), Lm, W, gidx)
+    m0 = ((o + dmin) // _DRIFT_R) * _DRIFT_R
+    # dv(u) = q(u) - (u - o_i) - m0_i  =  d(u) + o_i - m0_i
+    dv = (dpad.reshape(niter, SEG) + (o - m0)[:, None]).reshape(-1)
+    K = int(dv.max()) + 1                    # exact per-plan bound
+    if K > 120:                              # dv must fit int8 after
+        return None                          # rounding K up to R
+    K = -(-K // _DRIFT_R) * _DRIFT_R
+    # 0-based pos within x can dip to -K when the drift decreases
+    # (rate > 1) — all position indexing below is therefore offset by
+    # +K (and the device pads xcat by K zeros at the front) so no
+    # dynamic_slice start ever goes negative and clamps (a clamped
+    # start shifts the whole block's data)
+    assert int(m0.min()) >= -K and int(dv.min()) >= 0
+    # position-major phase/alpha: q = x_idx-1; first consumer wins,
+    # a second consumer of the same position (rate > 1 duplicates at
+    # phase wraps) goes into the B bank, flagged per output
+    q = x_idx.astype(np.int64) - 1 + K
+    npos = int(m0.max()) + K + SEG + 2 * K + 64
+    npos = -(-npos // _DRIFT_R) * _DRIFT_R
+    phiq = np.zeros(npos, np.int32)
+    alphq = np.zeros(npos, np.float64)
+    dup = np.zeros(out_len, bool)
+    dup[1:] = q[1:] == q[:-1]
+    first = ~dup
+    phiq[q[first]] = phi_idx[first]
+    alphq[q[first]] = alpha[first]
+    has_dups = bool(dup.any())
+    if has_dups:
+        phiqb = phiq.copy()
+        alphqb = alphq.copy()
+        phiqb[q[dup]] = phi_idx[dup]
+        alphqb[q[dup]] = alpha[dup]
+        is_b = np.concatenate(
+            [dup, np.zeros(out_pad - out_len, bool)])
+    else:
+        phiqb = alphqb = is_b = None
+    return dict(SEG=SEG, K=K, niter=niter, out_pad=out_pad,
+                m0=m0.astype(np.int32), dv=dv.astype(np.int8),
+                phiq=phiq, alphq=alphq, phiqb=phiqb, alphqb=alphqb,
+                is_b=(is_b if has_dups else None), has_dups=has_dups)
 
 
-def _arb_seg_tables(pfb, dpfb, Lm, W):
-    """(nphi, W, 2*Lm) banded per-phase tap tables: column w of phase
-    p holds pfb[:, p] at rows [w, w+taps) (bank 2 = derivative)."""
-    nphi = pfb.shape[1]
-    G = np.zeros((nphi, W, 2 * Lm), pfb.dtype)
-    for p in range(nphi):
-        for t in range(pfb.shape[0]):
-            idx = np.arange(Lm)
-            G[p, idx + t, idx] = pfb[t, p]
-            G[p, idx + t, Lm + idx] = dpfb[t, p]
+_DRIFT_R = 8      # positions per block-matmul row
+_DRIFT_ITERS = 24  # scan-length target: K ~ drift steps per block
+
+
+def _arb_drift_table(pfb, dtype, R=_DRIFT_R):
+    """(S, R, R*nphi) banded tap tables for the row-R block-reshape
+    form: z = sum_s xw[R*s:].reshape(NB, R) @ G[s] evaluates ALL nphi
+    phase filters at R consecutive input positions per z row, with
+    frames built from contiguous shifted reshapes only (the repo's
+    zero-gather recipe; an explicit im2col of 39 strided 1-D slices
+    measured 100x slower on v5e). Column layout: i*nphi + p for
+    in-row position i. Only the LO bank is tabulated: the reference's
+    derivative bank is dpfb = taps2pfb(diff(h)), so its dot equals
+    lo_{phi+1} - lo_{phi} exactly and the interpolated output is
+    (1-alpha)*lo_phi + alpha*lo_{phi+1} — tabulating it would double
+    the z tensor, the dominant HBM traffic of this path."""
+    taps, nphi = pfb.shape
+    Wb = R + taps - 1
+    S = -(-Wb // R)
+    G = np.zeros((S, R, R * nphi), dtype)
+    for i in range(R):
+        for t in range(taps):
+            s, r = divmod(i + t, R)
+            G[s, r, i * nphi: (i + 1) * nphi] = pfb[t]
     return G
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
-def _pfb_dot_arb_segments(xcat, G, rows, bounds, Lm, hist_off,
-                          alpha=None, gidx=None):
-    """Near-unity-rate arbitrary resampling via per-phase banded
-    matmuls over host-planned constant-phase runs (no all-phase
-    overcount, no window gather: one row-gather of segment frames, 32
-    static matmuls, one output gather)."""
-    flat = xcat.reshape(xcat.shape[0], -1)            # (n, C)
-    # mode="clip": the last segment's frame tail reads past the signal
-    # end; those rows only reach output columns beyond the segment's
-    # true length, which the gidx reassembly never selects (jnp.take's
-    # default "fill" mode would inject NaN there and poison the tail)
-    F = jnp.take(flat, rows + hist_off, axis=0, mode="clip")
-    dt = jnp.result_type(flat.dtype, G.dtype)
-    F = F.astype(dt)
-    C = F.shape[2]
-    outs = []
-    for p in range(len(bounds) - 1):
-        a, b = bounds[p], bounds[p + 1]
-        if a == b:
-            continue
-        if C == 1:
-            # plain 2-D matmul: a unit-batch einsum runs ~3x slower
-            # on the TPU batched-matmul path (measured v5e)
-            outs.append(jnp.dot(F[a:b, :, 0], G[p],
-                                precision=jax.lax.Precision.HIGHEST))
-        else:
-            outs.append(jnp.einsum("swc,wo->soc", F[a:b], G[p],
-                                   precision=jax.lax.Precision.HIGHEST))
-    Y = jnp.concatenate(outs, axis=0)          # (nseg, 2Lm[, C])
-    if C == 1:
-        Y = Y[:, :, None]
-    y1 = Y[:, :Lm].reshape(-1, C)                     # (nseg*Lm, C)
-    y2 = Y[:, Lm:].reshape(-1, C)
-    y = y1[gidx] + alpha[:, None].astype(y1.dtype) * y2[gidx]
-    return y.reshape((gidx.shape[0],) + xcat.shape[1:])
+@partial(jax.jit, static_argnames=("SEG", "K", "niter", "winlen",
+                                   "nphi", "out_len", "hist",
+                                   "has_dups", "h0", "hL",
+                                   "pstar", "tstar"))
+def _pfb_dot_arb_drift(xcat_pad, Gp, m0, dvb, phiq, alphq, phiqb,
+                       alphqb, isb, SEG, K, niter, winlen, nphi,
+                       out_len, hist, has_dups, h0, hL,
+                       pstar, tstar):
+    """Gather-free near-unity arbitrary-rate resampling: scan over
+    SEG-output blocks; per block a few banded block-reshape matmuls
+    evaluate all phases/banks at every needed input position, then
+    per-position one-hot phase+alpha selection and a K-way static-
+    shift drift selection assemble the outputs. See _arb_drift_plan."""
+    dt = jnp.result_type(xcat_pad.dtype, Gp.dtype)
+    R = _DRIFT_R
+    Sb = Gp.shape[0]
+    NB = (SEG + K) // R + 2
+    nwin = NB * R                                # positions per block
+    prec = jax.lax.Precision.HIGHEST
+    p_l = jnp.arange(nphi, dtype=jnp.int32)[None, None, :]
+
+    def body(y, i):
+        mk = m0[i] + K          # +K: xcat_pad carries K front-pad zeros
+        x0 = hist + mk - (winlen - 1)
+        xw = jax.lax.dynamic_slice(xcat_pad, (x0,),
+                                   (nwin + Sb * R,)).astype(dt)
+        # ONE matmul: accumulating Sb partial dots would materialize
+        # the (NB, R*nphi) z tensor Sb times in HBM (measured: the
+        # 6-partial form ran 0.95 ms/iter, ~all of it z traffic)
+        Xc = jnp.concatenate(
+            [jax.lax.slice(xw, (s * R,), (s * R + nwin,)).reshape(NB, R)
+             for s in range(Sb)], axis=1)        # (NB, Sb*R)
+        z = jnp.dot(Xc, Gp.reshape(Sb * R, -1), precision=prec)
+        z3 = z.reshape(NB, R, nphi)
+        # the phi = nphi-1 interpolation partner: the reference's
+        # derivative bank appends dh[hlen-1] = 0, so its wrap dot is
+        # phase 0 of the NEXT position minus the newest-sample term
+        # h[0]*x[m+1]; lane 0 of the next in-row group / next row:
+        lane0 = z3[:, :, 0]                                # (NB, R)
+        nxt0 = jnp.concatenate(
+            [lane0[:, 1:],
+             jnp.concatenate([lane0[1:, :1],
+                              jnp.zeros((1, 1), dt)], axis=0)], axis=1)
+        xq1 = jax.lax.slice(xw, (winlen,),
+                            (winlen + nwin,)).reshape(NB, R)
+        nxt0 = nxt0 - h0 * xq1
+        # broken-telescope tap: dh[hlen-1] is an appended zero, not
+        # h[hlen] - h[hlen-1], so the lo-difference identity needs
+        # +h[hlen-1]*win[t*] wherever phi == (hlen-1) % nphi
+        xqs = jax.lax.slice(xw, (tstar,), (tstar + nwin,)).reshape(NB, R)
+
+        # per-position one-hot selection: the interpolated output is
+        # (1-alpha)*lo_phi + alpha*lo_{phi+1} (see _arb_drift_table)
+        def select(pq, aq):
+            ph = jax.lax.dynamic_slice(pq, (mk,), (nwin,))
+            al = jax.lax.dynamic_slice(aq, (mk,), (nwin,)).astype(dt)
+            ph3 = ph.reshape(NB, R, 1)
+            al2 = al.reshape(NB, R)
+            A = jnp.sum(z3 * (p_l == ph3).astype(dt), axis=2)
+            N = jnp.sum(z3 * (p_l == ph3 + 1).astype(dt), axis=2)
+            N = N + jnp.where(ph3[:, :, 0] == nphi - 1, nxt0, 0.0)
+            N = N + jnp.where(ph3[:, :, 0] == pstar, hL * xqs, 0.0)
+            return (A + al2 * (N - A)).reshape(nwin)
+        zsel = select(phiq, alphq)
+        if has_dups:
+            zselb = select(phiqb, alphqb)
+        # drift selection: y[u] = zsel[u + dv(u)], dv in [0, K)
+        dv = jax.lax.dynamic_slice(dvb, (i * SEG,), (SEG,))
+        if has_dups:
+            bi = jax.lax.dynamic_slice(isb, (i * SEG,), (SEG,))
+        acc = jnp.zeros((SEG,), dt)
+        for v in range(K):
+            zv = jax.lax.slice(zsel, (v,), (v + SEG,))
+            if has_dups:
+                zvb = jax.lax.slice(zselb, (v,), (v + SEG,))
+                zv = jnp.where(bi, zvb, zv)
+            acc = acc + jnp.where(dv == v, zv, 0)
+        y = jax.lax.dynamic_update_slice(y, acc, (i * SEG,))
+        return y, None
+
+    y0 = jnp.zeros((niter * SEG,), dt)
+    y, _ = jax.lax.scan(body, y0, jnp.arange(niter))
+    return y[:out_len]
 
 
 # ---------------------------------------------------------------------------
@@ -814,39 +911,66 @@ class FIRFilter:
             cache = getattr(k, "_plan_cache", None)
             if cache is None or cache[0] != key:
                 head, alpha, out_len = k.plan(xlen)
-                segs = None
+                drift = None
                 if out_len:
                     x_idx, phi_idx = head[0], head[1]
-                    end0 = self.history_len + x_idx - 1  # 0-based in xcat
                     adt = (x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
                            else np.float32)
+                    end0 = self.history_len + x_idx - 1  # 0-based in xcat
                     dev = (jnp.asarray(end0.astype(np.int32)),
                            jnp.asarray(phi_idx.astype(np.int32)),
                            jnp.asarray(alpha, dtype=adt))
-                    sp = _arb_segment_plan(x_idx, phi_idx, out_len,
-                                           k.nphi, k.taps_per_phi)
-                    if sp is not None:
-                        rows, bounds, Lm, W, gidx = sp
-                        Gt = getattr(k, "_seg_tables", None)
-                        if Gt is None or Gt[0] != (Lm, W):
-                            Gnp = _arb_seg_tables(
-                                np.asarray(k.pfb_t).T,
-                                np.asarray(k.dpfb_t).T, Lm, W)
-                            k._seg_tables = Gt = ((Lm, W),
-                                                  jnp.asarray(Gnp))
-                        segs = (Gt[1], jnp.asarray(rows.astype(np.int32)),
-                                bounds, Lm,
-                                jnp.asarray(alpha, dtype=adt),
-                                jnp.asarray(gidx.astype(np.int32)))
+                    dp = (_arb_drift_plan(x_idx, phi_idx, alpha, out_len,
+                                          k.nphi, k.taps_per_phi)
+                          if x.ndim == 1 and not jnp.iscomplexobj(x)
+                          and not jnp.iscomplexobj(k.pfb_t) else None)
+                    if dp is not None:
+                        tdt = jnp.result_type(
+                            np.asarray(k.pfb_t).dtype, adt)
+                        Gt = getattr(k, "_drift_table", None)
+                        if Gt is None or Gt[0] != tdt:
+                            Gnp = _arb_drift_table(
+                                np.asarray(k.pfb_t).T, tdt)
+                            k._drift_table = Gt = (tdt, jnp.asarray(Gnp))
+                        hd = dp["has_dups"]
+                        drift = (Gt[1],
+                                 jnp.asarray(dp["m0"]),
+                                 jnp.asarray(dp["dv"]),
+                                 jnp.asarray(dp["phiq"]),
+                                 jnp.asarray(dp["alphq"], adt),
+                                 (jnp.asarray(dp["phiqb"]) if hd
+                                  else None),
+                                 (jnp.asarray(dp["alphqb"], adt) if hd
+                                  else None),
+                                 (jnp.asarray(dp["is_b"]) if hd
+                                  else None),
+                                 dp["SEG"], dp["K"], dp["niter"], hd)
                 else:
                     dev = None
-                cache = k._plan_cache = (key, dev, out_len, segs)
-            _, dev, out_len, segs = cache
-            if out_len and segs is not None:
-                G, rows, bounds, Lm, alpha_d, gidx = segs
-                y = _pfb_dot_arb_segments(xcat, G, rows, bounds, Lm,
-                                          self.history_len,
-                                          alpha=alpha_d, gidx=gidx)
+                cache = k._plan_cache = (key, dev, out_len, drift)
+            _, dev, out_len, drift = cache
+            if out_len and drift is not None:
+                (Gp, m0, dvb, phiq, alphq, phiqb, alphqb, isb,
+                 SEG, K, niter, hd) = drift
+                # K zeros at the front (block bases can dip to -K when
+                # the drift decreases) and a tail pad so no block's
+                # slices ever clamp — one copy, folded into the history
+                # concat the arb path already pays
+                pad = SEG + K + 2 * k.taps_per_phi + 64
+                xp = jnp.concatenate(
+                    [jnp.zeros((K,), xcat.dtype), xcat,
+                     jnp.zeros((pad,), xcat.dtype)])
+                y = _pfb_dot_arb_drift(
+                    xp, Gp, m0, dvb, phiq, alphq, phiqb, alphqb, isb,
+                    SEG=SEG, K=K, niter=niter, winlen=k.taps_per_phi,
+                    nphi=k.nphi, out_len=out_len,
+                    hist=self.history_len, has_dups=hd,
+                    h0=float(np.asarray(k.pfb_t)[0, -1]),
+                    hL=float(self.h[k.hlen - 1]),
+                    pstar=(k.hlen - 1) % k.nphi,
+                    tstar=(k.taps_per_phi - 1
+                           - (k.hlen - 1 - (k.hlen - 1) % k.nphi)
+                           // k.nphi))
             elif out_len:
                 y = _pfb_dot_arb(xcat, k.pfb_t, k.dpfb_t,
                                  dev[0], dev[1], dev[2], k.taps_per_phi)

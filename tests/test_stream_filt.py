@@ -202,25 +202,31 @@ class TestResampleAPI:
         np.testing.assert_allclose(y[100:-100], want[100:-100], atol=1e-3)
 
 
-class TestArbitrarySegmentPath:
-    """Near-unity rates take the constant-phase-run fast path
-    (_pfb_dot_arb_segments); it must agree exactly with the all-phase
-    path and with the naive model."""
+class TestArbitraryDriftPath:
+    """Near-unity rates take the gather-free drift-scan path
+    (_pfb_dot_arb_drift); it must agree exactly with the all-phase
+    path and with the naive model, for both drift directions."""
 
-    def test_segment_path_active_and_exact(self):
+    @pytest.mark.parametrize("rate,hlen", [
+        (0.9997, 64 * 32),   # hlen a multiple of nphi
+        (1.0003, 64 * 32),
+        (0.9997, 1187),      # ragged hlen: exercises the broken-
+        (1.0003, 1000),      # telescope tap correction (pstar/tstar)
+    ])
+    def test_drift_path_active_and_exact(self, rate, hlen):
         from dsptpu.filters.stream_filt import (FIRFilter, _pfb_dot_arb,
-                                                _arb_segment_plan)
-        h = sp.firwin(64 * 32, 1 / 32 * 0.9)
+                                                _arb_drift_plan)
+        h = sp.firwin(hlen, 1 / 32 * 0.9)
         rng = np.random.default_rng(11)
         x = rng.standard_normal(50_000)
-        rate = 0.9997
         sf = FIRFilter(h, rate)
         k = sf.kernel
         head, alpha, out_len = k.plan(len(x))
         assert out_len > 1024
-        sp_plan = _arb_segment_plan(head[0], head[1], out_len,
-                                    k.nphi, k.taps_per_phi)
-        assert sp_plan is not None, "segment path should be active"
+        dp = _arb_drift_plan(head[0], head[1], alpha, out_len,
+                             k.nphi, k.taps_per_phi)
+        assert dp is not None, "drift path should be active"
+        assert dp["has_dups"] == (rate > 1)
         got = np.asarray(sf.filt(jnp.asarray(x)))
         # all-phase reference on the same plan
         xcat = jnp.concatenate([jnp.zeros(sf.history_len), jnp.asarray(x)])
@@ -254,8 +260,9 @@ class TestArbitrarySegmentPath:
         np.testing.assert_allclose(got, whole, atol=1e-4)
 
     def test_wild_rate_stays_allphase(self):
-        from dsptpu.filters.stream_filt import _arb_segment_plan, FIRFilter
+        from dsptpu.filters.stream_filt import _arb_drift_plan, FIRFilter
         h = sp.firwin(32 * 32, 1 / 32 * 0.9)
         sf = FIRFilter(h, 1.35)
-        head, alpha, out_len = sf.kernel.plan(5000)
-        assert _arb_segment_plan(head[0], head[1], out_len, 32, 32) is None
+        head, alpha, out_len = sf.kernel.plan(50_000)
+        assert _arb_drift_plan(head[0], head[1], alpha, out_len,
+                               32, 32) is None
