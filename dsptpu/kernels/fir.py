@@ -16,18 +16,22 @@ one wide banded-Toeplitz table built gather-free by the periodic
 tile+reshape trick (dspbase.jl:26-105 semantics: causal filt with zero
 initial state).
 
-Geometry (v2 — zero-copy wrapper). The kernel consumes the signal
-directly as (C, R0, 128) rows with NO front padding: grid step p emits
-output rows [p*A, p*A + A) from TWO BlockSpec views of the input — the
-aligned block p (rows r-d >= 0 of the step, "main") and block
-max(p-1, 0) whose LAST d rows supply the tap history crossing the
-block edge ("head", masked to the zero-state at p == 0). Mosaic
-rejects sublane-shifted concatenation, so each C_m contributes two
-partial matmuls with sublane-offset reads (supported). R0 need not be
-a multiple of A: Pallas drops out-of-bounds writes and the kernel is
-causal in both rows and lanes (C_0 is lane-lower-triangular; C_m for
-m > 0 read only PAST rows), so garbage in the ragged tail block only
-reaches discarded outputs.
+Geometry (v3 — zero-copy wrapper, scratch history carry). The kernel
+consumes the signal directly as (C, R0, 128) rows with NO front
+padding: grid step p emits output rows [p*A, p*A + A) from ONE aligned
+input block; all M+1 tap matrices multiply in ONE wide
+(A, 128) @ (128, 128*(M+1)) matmul and the row shifts move AFTER the
+matmul (pltpu.roll + where). The cross-block history is the PREVIOUS
+step's product rows, carried in VMEM scratch across the sequential
+grid — the v2 kernel re-fetched block p-1 as a second BlockSpec view
+and issued M+1 narrow N=128 matmuls; v3 halves the signal reads and
+runs the matmul at the wide-N rate (35 vs 25 TF/s measured at this K).
+R0 need not be a multiple of A: Pallas drops out-of-bounds writes and
+the kernel is causal in both rows and lanes (C_0 is
+lane-lower-triangular; C_m for m > 0 read only PAST rows), so garbage
+in the ragged tail block only reaches discarded outputs (the scratch
+carry out of a ragged tail is consumed only by the next channel's
+first block, which zero-masks it).
 
 Why this structure: the kernel itself runs at ~50 GS/s on v5e (127
 taps, HIGHEST), while every XLA relayout of a 40 MB 1-D signal
@@ -69,27 +73,36 @@ def fir_supported(nb, dtype):
     return 2 <= nb <= 1536
 
 
-def _kernel(v1, v0, g, o_ref, *, M, A, prec):
-    """v1: block p (the step's own A rows); v0: block max(p-1, 0),
-    whose last rows carry the cross-block tap history."""
+def _kernel(v1, g, o_ref, pprev, *, M, A, prec):
+    """v1: block p (the step's own A rows); pprev: VMEM scratch
+    carrying the PREVIOUS step's shifted-tap products across the
+    sequential grid (the history that used to need a second fetch of
+    block p-1 — dropping it halves the kernel's signal reads)."""
     b = pl.program_id(1)
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=prec)
-    # Y[r] = sum_m X[r - m] @ C_m. m = 0 is one full aligned matmul
-    # initializing every output row; m >= 1 rows r < m take their
-    # history from the tail of block p-1 (zero state at p == 0, where
-    # skipping the head IS the zero-history because m=0 already wrote
-    # all rows).
-    o_ref[0] = dot(v1[0], g[:, :128])
-    for m in range(1, M + 1):
-        Cm = g[:, 128 * m:128 * (m + 1)]
-        main = dot(v1[0, : A - m, :], Cm)          # -> out rows [m, A)
-        o_ref[0, m:A, :] = o_ref[0, m:A, :] + main
-
-        @pl.when(b > 0)
-        def _(m=m, Cm=Cm):
-            head = dot(v0[0, A - m:A, :], Cm)      # -> out rows [0, m)
-            o_ref[0, :m, :] = o_ref[0, :m, :] + head
+    # Y[r] = sum_m X[r - m] @ C_m, computed as ONE wide matmul
+    # P = X @ [C0 | C1 | ... | CM] followed by post-matmul row shifts:
+    # Y[r] = sum_m P[r - m, m-block]. The round-3 form issued M+1
+    # separate N=128 matmuls; merging the RHS lifts the matmul rate
+    # (N >= 256 amortizes MXU weight loads; measured 35 vs 25 TF/s at
+    # this K). Rows r < m take the previous block's P values from the
+    # scratch carry, substituted after a pltpu.roll — Mosaic lowers
+    # roll+where but not sublane-shifted concatenation; zero state at
+    # the first block of each channel.
+    P = dot(v1[0], g[:, :])                      # (A, 128*(M+1))
+    acc = P[:, :128]
+    if M:
+        rid = jax.lax.broadcasted_iota(jnp.int32, (A, 128), 0)
+        for m in range(1, M + 1):
+            Pm = P[:, 128 * m:128 * (m + 1)]
+            y = pltpu.roll(Pm, m, axis=0)        # row r <- P[r-m]
+            prev = pltpu.roll(pprev[:, 128 * (m - 1):128 * m], m,
+                              axis=0)            # row r <- prev[A-m+r]
+            fill = jnp.where(b > 0, prev, jnp.zeros_like(prev))
+            acc = acc + jnp.where(rid < m, fill, y)
+        pprev[:, :] = P[:, 128:]
+    o_ref[0] = acc
 
 
 @functools.partial(jax.jit,
@@ -113,19 +126,17 @@ def _fir_jit(xr, b, nb, A, interpret, precision="highest"):
         in_specs=[
             pl.BlockSpec((1, A, 128), lambda c_, p: (c_, p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, 128),
-                         lambda c_, p: (c_, jnp.maximum(p - 1, 0), 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((128, ncols), lambda c_, p: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, A, 128), lambda c_, p: (c_, p, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((A, max(128 * M, 128)), jnp.float32)],
         interpret=interpret,
-    )(xr, xr, g)
+    )(xr, g)
 
 
-def fir_pallas(x, b, A=1024, interpret=False, precision="highest"):
+def fir_pallas(x, b, A=2048, interpret=False, precision="highest"):
     """Fused causal FIR: x (n,) or (n, C) real f32, b (nb,) real f32
     taps. Returns filt(b, x) (zero initial state). Caller checks
     fir_supported(len(b), f32).

@@ -127,11 +127,11 @@ def _stage1_fft(planes, N1):
     return fft([(p, None) for p in planes])
 
 
-def _kernel(q_hbm, w2re, wp, o_ref, scratch, sem, *,
-            w1re, w1im, TB, N1, rows, hr, nrq, pad, nblocks, prec,
+def _kernel(q_hbm, w2cat, twt, wp, o_ref, scratch, sem, *,
+            w1re, w1im, TB, N1, rows, hr, pad, nblocks, prec,
             accum, valid_last):
     """Grid (C*nblocks,) linearized; step i handles (c, b) =
-    divmod(i, nblocks). q_hbm: (C*hr*nrq, 128) flattened row planes;
+    divmod(i, nblocks). q_hbm: (C, hr, nrq, 128) regrouped row planes;
     scratch (2, hr, pad, 128), double-buffered: step i waits on the
     copies step i-1 started for it and prefetches step i+1's planes —
     manual DMAs otherwise SERIALIZE with compute (no Mosaic auto-
@@ -154,7 +154,7 @@ def _kernel(q_hbm, w2re, wp, o_ref, scratch, sem, *,
         bs = jax.lax.rem(step, nb32)
         for m in range(hr):
             pltpu.make_async_copy(
-                q_hbm.at[pl.ds((cs * hr + m) * nrq + bs * TB, pad), :],
+                q_hbm.at[cs, m, pl.ds(bs * TB, pad), :],
                 scratch.at[buf, m], sem.at[buf, m]).start()
 
     @pl.when(i == 0)
@@ -167,7 +167,7 @@ def _kernel(q_hbm, w2re, wp, o_ref, scratch, sem, *,
 
     for m in range(hr):
         pltpu.make_async_copy(
-            q_hbm.at[pl.ds((c * hr + m) * nrq + b * TB, pad), :],
+            q_hbm.at[c, m, pl.ds(b * TB, pad), :],
             scratch.at[slot, m], sem.at[slot, m]).wait()
 
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
@@ -216,12 +216,15 @@ def _kernel(q_hbm, w2re, wp, o_ref, scratch, sem, *,
                 bim if bim is not None else zero())
 
     # real input planes: B[N1-k1] = conj(B[k1]) — compute the first
-    # stage only for k1 <= N1/2; the per-k1 twiddle AND the mirrored
-    # half's conjugation signs are folded into the stage-2 matrices
-    # (w2re/w2im are (rows, 128, 128) stacks, see _tables) — the
-    # in-kernel twiddle combine used to cost 6 VMEM tile ops per k1
-    # row, ~30% of the whole pass (the kernel is VMEM-BW-bound on tile
-    # ops, not MXU-bound).
+    # stage only for k1 <= N1/2. The per-k1 twiddle is applied as an
+    # elementwise complex multiply (VPU tile chains measured 17-21
+    # TB/s effective on v5e — essentially free) so that EVERY k1 row
+    # shares one stage-2 RHS [W2re | W2im] and the whole stage 2 runs
+    # as ONE (2*rows*TB, 128) @ (128, 256) matmul per taper: the
+    # round-3 kernel issued 2*rows small (TB,128)@(128,256) matmuls
+    # per step and they, not the VPU ops, were the 34%-MXU plateau
+    # (measured: the kernel runs at the matmul FLOP rate; an 18%
+    # tile-op reduction moved nothing).
     acc = [None] * rows
     for k in range(K):
         planes = [raw_planes[j1] * wp[k, j1, :][None, :]
@@ -229,6 +232,7 @@ def _kernel(q_hbm, w2re, wp, o_ref, scratch, sem, *,
         fft_rows = (_stage1_fft(planes, N1)
                     if N1 & (N1 - 1) == 0 else None)
         cache = {}
+        cre, cim = [], []
         for k1 in range(rows):
             mirrored = k1 > N1 // 2
             if not mirrored:
@@ -241,15 +245,31 @@ def _kernel(q_hbm, w2re, wp, o_ref, scratch, sem, *,
                     bre, bim = stage1(planes, k1)
                 cache[k1] = (bre, bim)
             else:
+                # mirrored row: conjugate of the cached row (real
+                # input); |.|^2 output makes the overall imag sign
+                # irrelevant
                 bre, bim = cache[N1 - k1]
-            # paired RHS [Mre | Mim] (128, 256): TWO N=256 matmuls
-            # instead of four N=128 — halves MXU weight loads for the
-            # same FLOPs
-            P1 = dot(bre, w2re[k1])                     # (TB, 256)
-            P2 = dot(bim, w2re[k1])
-            dre = P1[:, :128] - P2[:, 128:]
-            dim = P1[:, 128:] + P2[:, :128]
-            pw = dre * dre + dim * dim                  # (TB, 128)
+            tre = twt[0, k1, :][None, :]
+            tim = twt[1, k1, :][None, :]
+            if mirrored:       # (bre - i*bim) * (tre + i*tim)
+                cre.append(bre * tre + bim * tim)
+                cim.append(bre * tim - bim * tre)
+            else:              # (bre + i*bim) * (tre + i*tim)
+                cre.append(bre * tre - bim * tim)
+                cim.append(bre * tim + bim * tre)
+        # Karatsuba complex multiply: 3 shared-RHS matmuls instead of
+        # the 4 products of [CRE; CIM] @ [W2re | W2im] — stage-2 MXU
+        # time is the kernel's dominant term
+        CRE = jnp.concatenate(cre, axis=0)          # (rows*TB, 128)
+        CIM = jnp.concatenate(cim, axis=0)
+        P1 = dot(CRE, w2cat[:, :128])               # CRE @ W2re
+        P2 = dot(CIM, w2cat[:, 128:256])            # CIM @ W2im
+        P3 = dot(CRE + CIM, w2cat[:, 256:])         # (CRE+CIM)@(re+im)
+        for k1 in range(rows):
+            s = slice(k1 * TB, (k1 + 1) * TB)
+            dre = P1[s] - P2[s]
+            dim = P3[s] - P1[s] - P2[s]
+            pw = dre * dre + dim * dim              # (TB, 128)
             acc[k1] = pw if acc[k1] is None else acc[k1] + pw
 
     for k1 in range(rows):
@@ -322,27 +342,31 @@ def _stft_pow_jit(x, wp, nfft, hop, nframes, accumulate,
     pad = -(-(TB + extra) // 8) * 8
     nrq = nblocks * TB + pad
     need = nrq * hr * 128
-    xT = x.T                                      # (C, n)
-    if need > n:
-        xT = jnp.pad(xT, ((0, 0), (0, need - n)))
-    rows = xT[:, : nrq * hr * 128].reshape(C, nrq, hr, 128)
-    q = jnp.swapaxes(rows, 1, 2).reshape(C * hr * nrq, 128)  # row planes
+    # (C, hr, nrq, 128) interleaved row planes in ONE fused pallas
+    # transpose+regroup pass (270 GB/s measured; the round-3 XLA
+    # transpose + swapaxes prep cost ~5.5 ms of the 8.66 ms welch
+    # bench pass, and a two-pallas-call composition re-inserted a
+    # ~3.3 ms XLA layout copy between them)
+    on_tpu = (not interpret
+              and jax.devices()[0].platform not in ("cpu",))
+    if on_tpu and n >= 1 << 16:
+        from .transpose import regroup_planes_pallas
+        q = regroup_planes_pallas(x, hr, nrq)
+    else:
+        xT = x.T
+        if need > n:
+            xT = jnp.pad(xT, ((0, 0), (0, need - n)))
+        rows4 = xT[:, : nrq * hr * 128].reshape(C, nrq, hr, 128)
+        q = jnp.swapaxes(rows4, 1, 2)             # (C, hr, nrq, 128)
 
     w1re, w1im, twre, twim, w2re, w2im, _ = _tables(nfft, N1, None)
     rows = N1 // 2 + 1 if onesided else N1
-    # per-k1 stage-2 matrices M_k1 = diag(T[k1]) @ W2 with the
-    # mirrored half's conjugation folded in (output is |.|^2, so the
-    # mirrored rows' dim sign flip is free): kills the in-kernel
-    # twiddle tile ops (the kernel is VMEM-BW-bound on tile ops)
-    tw = twre + 1j * twim
-    w2 = w2re + 1j * w2im
-    m2 = np.empty((rows, 128, 256), np.float32)
-    for k1 in range(rows):
-        M = tw[k1][:, None] * w2
-        s = -1.0 if k1 > N1 // 2 else 1.0
-        m2[k1, :, :128] = M.real.astype(np.float32)
-        m2[k1, :, 128:] = (s * M.imag).astype(np.float32)
-    tab = [jnp.asarray(m2), wp]
+    # SHARED stage-2 RHS [W2re | W2im | W2re+W2im] for every k1 row —
+    # the per-k1 twiddle is an in-kernel elementwise complex multiply
+    # (VPU, ~free) so stage 2 is three big Karatsuba matmuls per taper
+    w2cat = np.concatenate([w2re, w2im, w2re + w2im], axis=1)
+    twt = np.stack([twre, twim])                       # (2, N1, 128)
+    tab = [jnp.asarray(w2cat), jnp.asarray(twt), wp]
     if accumulate:
         out_shape = (C, 1, rows, 128)
         out_specs = pl.BlockSpec((1, 1, rows, 128),
@@ -357,14 +381,16 @@ def _stft_pow_jit(x, wp, nfft, hop, nframes, accumulate,
 
     out = pl.pallas_call(
         functools.partial(_kernel, w1re=w1re, w1im=w1im, TB=TB, N1=N1,
-                          rows=rows, hr=hr, nrq=nrq, pad=pad,
+                          rows=rows, hr=hr, pad=pad,
                           nblocks=nblocks, prec=prec, accum=accumulate,
                           valid_last=valid_last),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         grid=(C * nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((rows, 128, 256), lambda i: (0, 0, 0),
+            pl.BlockSpec((128, 384), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, N1, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((wp.shape[0], N1, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),

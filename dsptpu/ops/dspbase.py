@@ -181,7 +181,11 @@ def filt(b, a, x=None, si=None):
                     use_k, interp = _pallas_os_state()
                     if use_k and fir_supported(nb, jnp.float32):
                         rows = -(-n // 128)
-                        A = min(1024, max(64, -(-rows // 32) * 8))
+                        # A=2048 measured best for the v3 wide-matmul
+                        # kernel (0.130 ms / 39.1 TF/s at 127 taps x
+                        # 10M on v5e — at the measured Mosaic f32
+                        # matmul peak)
+                        A = min(2048, max(64, -(-rows // 32) * 8))
                         return restore(fir_pallas(
                             flat.astype(jnp.float32), b, A=A,
                             interpret=interp))

@@ -486,8 +486,13 @@ def test_stft_kernel_tile_op_budget():
 
     kj = found[0]
     walk(kj.jaxpr if hasattr(kj, "jaxpr") else kj)
-    assert cnt["vpu"] <= 82, f"welch kernel tile-op count grew: {cnt}"
-    assert cnt["dot"] == 10, f"stage-2 matmul count changed: {cnt}"
+    # round-4 invariant: stage 2 is THREE shared-RHS Karatsuba matmuls
+    # per taper (3/4 the products of per-k1 complex matmuls) —
+    # the per-k1 small matmuls were the kernel's 34%-MXU plateau (VPU
+    # tile chains measured 17-21 TB/s on v5e, i.e. ~free; the round-3
+    # op-count budget guarded the wrong quantity)
+    assert cnt["dot"] == 3, f"stage-2 matmul count changed: {cnt}"
+    assert cnt["vpu"] <= 130, f"welch kernel tile-op count blew up: {cnt}"
 
 
 def test_pfb2_kernel_mosaic_lowerable_primitives():
