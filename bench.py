@@ -261,15 +261,17 @@ def main():
         t_cpu_s = _cpu_time(lambda: sp.spectrogram(
             x3[: n3 // 8], axis=0, nperseg=1024, noverlap=512,
             window=win)) * 8
-        # per-frame useful matmul work in the fused four-step kernel:
-        # N1 * 4 complex-as-real (.,128)@(128,128) products
-        kflops = nfr * nch3 * (8 * 4 * 2 * 128 * 128)
+        # issued stage-2 matmul work in the fused four-step kernel
+        # (round 4: Karatsuba — 3 (.,128)@(128,128) products per
+        # k1-row set; rows = N1//2+1 one-sided welch, N1 spectrogram)
+        kflops_w = nfr * nch3 * (5 * 3 * 2 * 128 * 128)
+        kflops_s = nfr * nch3 * (8 * 3 * 2 * 128 * 128)
         # algorithmic minimum per frame: one length-1024 rFFT
         # (2.5 N log2 N) + window multiply + |.|^2 accumulate (~4N)
         kflops_min = nfr * nch3 * (2.5 * 1024 * 10 + 4 * 1024)
         record("welch_spectrogram_1024_64ch", 2 * n3 * nch3, t_w + t_s,
                t_cpu_w + t_cpu_s, min_bytes=2 * 4 * n3 * nch3,
-               flops=2 * kflops, flops_min=2 * kflops_min)
+               flops=kflops_w + kflops_s, flops_min=2 * kflops_min)
         stft_fps = nfr * nch3 / t_s
         extra["stft_frames_per_s"] = round(stft_fps, 1)
         _log(f"  stft/spectrogram: {stft_fps/1e6:.2f} M frames/s "
@@ -301,11 +303,15 @@ def main():
         W4 = -(-len(h4) // 147) + 1  # taps/phase + carry row
         poly_flops = 2.0 * n4 * (147 / 160) * W4
         try:
-            from dsptpu.kernels.pfb2 import pfb2_supported, pfb2_plan
+            from dsptpu.kernels.pfb2 import (pfb2_supported, pfb2_plan,
+                                             pfb2_default_on)
             from dsptpu.filters.stream_filt import taps2pfb
-            from dsptpu.ops import dspbase as _db
-            if on_tpu and _db._PALLAS_OS is True and pfb2_supported(
-                    147, 160, -(-len(h4) // 147), np.float32):
+            sf.reset()
+            _k4 = sf.kernel
+            if on_tpu and pfb2_supported(
+                    147, 160, -(-len(h4) // 147), np.float32) \
+                    and pfb2_default_on(-(-len(h4) // 147), 147, 160,
+                                        _k4.phi_idx, _k4.input_deficit):
                 sf.reset()
                 k4 = sf.kernel
                 plan4 = pfb2_plan(taps2pfb(h4, 147), 147, 160,
