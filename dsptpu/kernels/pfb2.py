@@ -474,8 +474,12 @@ def pfb2_resample_pallas(x, pfb, L, M, phi0, deficit, out_len,
     if S is None:
         if grouped:
             # VMEM budget: 1x group table + 2x input tile + 2x out tile
-            # (+ side views); solve for S, snap down to a multiple of 8
-            free = (14 << 20) - plan.grp_stride * 512
+            # (+ side views); solve for S, snap down to a multiple of 8.
+            # 18 MB budget: S=48 compiles and measured fastest for
+            # 147//160 on v5e (0.396 ms vs 0.520 at S=32 — the 14 MB
+            # budget's pick); Mosaic evidently double-buffers less
+            # than the naive 2x-every-block accounting assumes
+            free = (18 << 20) - plan.grp_stride * 512
             S = max(free // ((plan.P_in + plan.Cg) * 1024), 8)
             S = min((S // 8) * 8, 64)
         else:
