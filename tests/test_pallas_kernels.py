@@ -537,3 +537,36 @@ def test_pfb2_kernel_mosaic_lowerable_primitives():
 
     walk(closed.jaxpr)
     assert not hits, f"Mosaic-unlowerable primitives in pfb2: {hits}"
+
+
+class TestRegroupPlanes:
+    """regroup_planes_pallas feeds the STFT kernel on TPU but the CPU
+    suite otherwise exercises only the XLA prep — cover the pallas
+    path (interpret mode) including the in-kernel zero fill past the
+    signal and the ragged boundary block."""
+
+    @pytest.mark.parametrize("n,C,hr,nrq", [
+        (100_000, 4, 4, 220),     # ragged boundary block + zero tail
+        (65_536, 2, 2, 260),      # nrq not divisible by the TRq=16 cap
+        (8_192, 1, 1, 70),        # single plane, odd nrq (TRq -> 2)
+    ])
+    def test_matches_xla_regroup(self, n, C, hr, nrq):
+        from dsptpu.kernels.transpose import regroup_planes_pallas
+        x = rng.standard_normal((n, C)).astype(np.float32)
+        q = np.asarray(regroup_planes_pallas(jnp.asarray(x), hr, nrq,
+                                             interpret=True))
+        need = nrq * hr * 128
+        xT = np.zeros((C, need), np.float32)
+        xT[:, :n] = x.T
+        ref = xT.reshape(C, nrq, hr, 128).swapaxes(1, 2)
+        np.testing.assert_array_equal(q, ref)
+
+    def test_transpose_tall(self):
+        from dsptpu.kernels.transpose import transpose_tall_pallas
+        x = rng.standard_normal((10_000, 8)).astype(np.float32)
+        y = np.asarray(transpose_tall_pallas(jnp.asarray(x), TR=2048,
+                                             pad_to=12_000,
+                                             interpret=True))
+        assert y.shape[1] % 2048 == 0 and y.shape[1] >= 12_000
+        np.testing.assert_array_equal(y[:, :10_000], x.T)
+        assert np.all(y[:, 10_000:] == 0.0)
