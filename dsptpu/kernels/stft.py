@@ -291,7 +291,7 @@ def _kernel(q_hbm, w2cat, twt, wp, o_ref, scratch, sem, *,
 
 
 def stft_pow_pallas(x, win, nfft, hop, nframes, accumulate=False,
-                    precision="highest", TB=128, onesided=False,
+                    precision="highest", TB=256, onesided=False,
                     raw=False, interpret=False):
     """Fused windowed-segment power spectra on TPU.
 

@@ -265,10 +265,10 @@ def _pallas_mt_spec(s, n, n_overlap, config):
         interp = jax.devices()[0].platform in ("cpu",)
     except Exception:
         interp = True
-    # TB=128 measured best on v5e (welch 8.66 ms vs 9.22 at TB=512 on
-    # the 64ch x 1M bench config; the plateau is per-step-latency, not
-    # bandwidth, and smaller blocks pipeline better)
-    TB = min(128, -(-nseg // 8) * 8)
+    # TB=256 measured best for the round-4 one-matmul stage 2 on v5e
+    # (spectrogram-raw 5.65 vs 6.13 ms at TB=128 on the 64ch x 1M
+    # bench config)
+    TB = min(256, -(-nseg // 8) * 8)
     tile = stft_pow_pallas(flat, W, nfft, hop, nseg, accumulate=False,
                            raw=True, TB=TB, interpret=interp)
     C, nblocks, N1, TBk, _ = tile.shape
