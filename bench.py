@@ -228,9 +228,10 @@ def main():
         hr2 = ((nfft2 - 4096 + 1) // 128)
         L2 = hr2 * 128
         K2 = -(-n2 // L2)
-        os_flops = nch * (K2 / 2) * (8 * N1_2 * N1_2 * 128
-                                     + 16 * N1_2 * 128 * 128
-                                     + 8 * hr2 * N1_2 * 128)
+        # round 4: every complex multiply is 3 Karatsuba products
+        os_flops = nch * (K2 / 2) * (6 * N1_2 * N1_2 * 128
+                                     + 12 * N1_2 * 128 * 128
+                                     + 6 * hr2 * N1_2 * 128)
         # algorithmic minimum: rFFT-based overlap-save (2.5 N log2 N per
         # real transform, fw+inv, + spectrum multiply) per L outputs
         os_flops_min = nch * K2 * (5 * nfft2 * math.log2(nfft2) + 6 * nfft2)

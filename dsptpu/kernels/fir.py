@@ -33,8 +33,9 @@ in the ragged tail block only reaches discarded outputs (the scratch
 carry out of a ragged tail is consumed only by the next channel's
 first block, which zero-masks it).
 
-Why this structure: the kernel itself runs at ~50 GS/s on v5e (127
-taps, HIGHEST), while every XLA relayout of a 40 MB 1-D signal
+Why this structure: the kernel runs at 74-76 GS/s on v5e (127 taps,
+HIGHEST, 38-39 TF/s issued — at the measured Mosaic f32 matmul peak),
+while every XLA relayout of a 40 MB 1-D signal
 ((n,)->(1,n) newaxis, pad, slice, transpose) costs 0.4-1.8 ms — the
 v1 front-padded wrapper spent ~4/5 of its time in glue. The only
 unavoidable cost left is one (n,)->(R0,128) relayout on input (~0.2 ms

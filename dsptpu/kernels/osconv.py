@@ -69,8 +69,9 @@ def osconv_supported(nfft, nv, dtype):
         return False
     L = ((nfft - nv + 1) // 128) * 128
     # the save region (frame history, srow = N1 - hr rows) must fit in
-    # the previous grid block: srow <= A = 2*hr*Q rows (Q = 4)
-    return L >= 128 and (nfft // 128) <= 9 * (L // 128)
+    # the previous grid block, and the v3 roll-spliced frame pieces
+    # take N1 rows of an A = 2*hr*Q block: N1 <= 8*hr at Q = 4
+    return L >= 128 and (nfft // 128) <= 8 * (L // 128)
 
 
 def _tables(nfft):
@@ -83,68 +84,101 @@ def _tables(nfft):
     return w1, tw, w2
 
 
-def _kernel(x1, x0, w1re, w1im, twre, twim, w2re, w2im, hre, him,
-            iw1re, iw1im, o_ref, *, N1, hr, srow, Q, A, nrows, prec):
+def _kernel(x1, x0, w1re, w1im, tw4re, tw4im, w2re, w2im, hQre, hQim,
+            twQre, twQim, iw1re, iw1im, o_ref, *,
+            N1, hr, srow, Q, A, nrows, prec):
+    """v3 (round 4): all Q complex frame pairs batch through every
+    stage as a handful of WIDE matmuls (q on lanes for the sublane-
+    contracting stages 1 and inv-k1, q on sublanes for the lane-
+    contracting stages 2 and inv-k2), and every complex multiply runs
+    as 3 Karatsuba products instead of 4. The round-3 form issued ~66
+    narrow N=128 matmuls per step; this one issues 12 wide ones for
+    3/4 the FLOPs — the kernel was matmul-bound at 41% of the measured
+    Mosaic f32 peak."""
     b = pl.program_id(1)
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=prec)
-    twr = twre[:]
-    twi = twim[:]
-    w2r = w2re[:]
-    w2i = w2im[:]
-    hr_ = hre[:]
-    hi_ = him[:]
-    w1r = w1re[:]
-    w1i = w1im[:]
-    i1r = iw1re[:]
-    i1i = iw1im[:]
+    w1r, w1i = w1re[:], w1im[:]
+    w1s = w1r + w1i
+    t4r, t4i = tw4re[:], tw4im[:]          # (N1, Q*128) lane-tiled
+    w2r, w2i = w2re[:], w2im[:]
+    w2s = w2r + w2i
+    w2d = w2r - w2i
+    hQr, hQi = hQre[:], hQim[:]            # (Q*N1, 128) sublane-stacked
+    tQr, tQi = twQre[:], twQim[:]
+    i1r, i1i = iw1re[:], iw1im[:]
+    i1s = i1r + i1i
     # zero rows at/after the signal end (ragged grid tail and the
     # linear-convolution tail read zeros, never OOB garbage); x0's
     # block is max(b-1, 0), masked entirely at b == 0 (zero history)
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (A, 1), 0)
     v1 = jnp.where(rows_i + b * A < nrows, x1[0], 0.0)
     v0 = jnp.where((rows_i + (b - 1) * A < nrows) & (b > 0), x0[0], 0.0)
+    ridN = jax.lax.broadcasted_iota(jnp.int32, (N1, 128), 0)
+
+    def piece(off):
+        """Rows [off, off+N1) of the step's signal; off < 0 reaches
+        into the previous block's tail via roll+where (Mosaic lowers
+        no sublane-shifted concatenation)."""
+        if off >= 0:
+            return v1[off: off + N1, :]
+        k = -off
+        pv0 = pltpu.roll(v0, k, axis=0)[:N1]   # rows < k <- v0[A-k..]
+        pv1 = pltpu.roll(v1, k, axis=0)[:N1]   # rows >= k <- v1[r-k]
+        return jnp.where(ridN < k, pv0, pv1)
+
+    VA = jnp.concatenate(
+        [piece(q * 2 * hr - srow) for q in range(Q)], axis=1)
+    VB = jnp.concatenate(
+        [piece(q * 2 * hr + hr - srow) for q in range(Q)], axis=1)
+    # stage 1 (contract j1, sublanes): B = W1 @ (VA + i VB), Karatsuba
+    P1 = dot(w1r, VA)
+    P2 = dot(w1i, VB)
+    P3 = dot(w1s, VA + VB)
+    bre = P1 - P2
+    bim = P3 - P1 - P2
+    # twiddle (lane-tiled tables)
+    cre = bre * t4r - bim * t4i
+    cim = bre * t4i + bim * t4r
+    # q moves to sublanes for the lane-contracting stages
+    CRE = jnp.concatenate(
+        [cre[:, 128 * q: 128 * (q + 1)] for q in range(Q)], axis=0)
+    CIM = jnp.concatenate(
+        [cim[:, 128 * q: 128 * (q + 1)] for q in range(Q)], axis=0)
+    # stage 2 (contract j2, lanes): X = C @ W2, Karatsuba
+    XP1 = dot(CRE, w2r)
+    XP2 = dot(CIM, w2i)
+    XP3 = dot(CRE + CIM, w2s)
+    xre = XP1 - XP2
+    xim = XP3 - XP1 - XP2
+    # tile-domain filter multiply (sublane-stacked tables)
+    yre = xre * hQr - xim * hQi
+    yim = xre * hQi + xim * hQr
+    # inverse over k2: Y @ conj(W2), Karatsuba with d = -w2i
+    YP1 = dot(yre, w2r)
+    YP2 = dot(yim, w2i)
+    YP3 = dot(yre + yim, w2d)
+    dre = YP1 + YP2
+    dim = YP3 - YP1 + YP2
+    # conjugate twiddle
+    ere = dre * tQr + dim * tQi
+    eim = dim * tQr - dre * tQi
+    # q back to lanes for the sublane-contracting inverse stage 1
+    Ere = jnp.concatenate(
+        [ere[N1 * q: N1 * (q + 1), :] for q in range(Q)], axis=1)
+    Eim = jnp.concatenate(
+        [eim[N1 * q: N1 * (q + 1), :] for q in range(Q)], axis=1)
+    # inverse over k1, valid rows only: iw1 = conj(w1)/nfft pre-sliced
+    # to [srow, N1) -> (hr, N1) @ (N1, Q*128), Karatsuba
+    OP1 = dot(i1r, Ere)
+    OP2 = dot(i1i, Eim)
+    OP3 = dot(i1s, Ere + Eim)
+    ore = OP1 - OP2
+    oim = OP3 - OP1 - OP2
     for q in range(Q):
-        fa = q * 2 * hr - srow
-        fb = fa + hr
-
-        def stage1(w, off):
-            """(w @ rows[off:off+N1]); the leading history rows
-            (off < 0) come from the previous block's tail."""
-            k = max(0, -off)
-            acc = None
-            if k > 0:
-                acc = dot(w[:, :k], v0[A - k:A, :])
-            if k < N1:
-                part = dot(w[:, k:], v1[off + k: off + N1, :])
-                acc = part if acc is None else acc + part
-            return acc
-
-        # z = frame_a + i*frame_b; B = W1 @ z (contract j1, sublanes)
-        bre = stage1(w1r, fa) - stage1(w1i, fb)
-        bim = stage1(w1i, fa) + stage1(w1r, fb)
-        # twiddle
-        cre = bre * twr - bim * twi
-        cim = bre * twi + bim * twr
-        # stage 2 (contract j2, lanes) -> tile (k1, k2)
-        xre = dot(cre, w2r) - dot(cim, w2i)
-        xim = dot(cre, w2i) + dot(cim, w2r)
-        # tile-domain filter multiply
-        yre = xre * hr_ - xim * hi_
-        yim = xre * hi_ + xim * hr_
-        # inverse stage over k2: conj(w2) (symmetric), contract lanes
-        dre = dot(yre, w2r) + dot(yim, w2i)
-        dim = dot(yim, w2r) - dot(yre, w2i)
-        # conjugate twiddle
-        ere = dre * twr + dim * twi
-        eim = dim * twr - dre * twi
-        # inverse stage over k1, valid rows only: iw1 = conj(w1)/nfft
-        # pre-sliced to [srow, N1) -> (hr, N1) @ (N1, 128)
-        ore = dot(i1r, ere) - dot(i1i, eim)
-        oim = dot(i1r, eim) + dot(i1i, ere)
         oa = q * 2 * hr
-        o_ref[0, oa:oa + hr, :] = ore
-        o_ref[0, oa + hr:oa + 2 * hr, :] = oim
+        o_ref[0, oa:oa + hr, :] = ore[:, 128 * q: 128 * (q + 1)]
+        o_ref[0, oa + hr:oa + 2 * hr, :] = oim[:, 128 * q: 128 * (q + 1)]
 
 
 @functools.partial(jax.jit,
@@ -171,8 +205,11 @@ def _osconv_jit(u, vp, nfft, nv, nout, Q, interpret,
     w1, tw, w2 = _tables(nfft)
     f32 = np.float32
     iw1 = np.conj(w1)[srow:, :] / nfft
+    tw4 = np.tile(tw, (1, Q))                   # (N1, Q*128) lane-tiled
+    twQ = np.tile(tw, (Q, 1))                   # (Q*N1, 128) stacked
     tabs = [jnp.asarray(t.astype(f32)) for t in
-            (w1.real, w1.imag, tw.real, tw.imag, w2.real, w2.imag)]
+            (w1.real, w1.imag, tw4.real, tw4.imag, w2.real, w2.imag)]
+    twqtabs = [jnp.asarray(t.astype(f32)) for t in (twQ.real, twQ.imag)]
     # filter tiles in this kernel's (N1, 128) four-step convention,
     # computed inside the jit (eager complex einsum is unsupported on
     # some tunneled backends)
@@ -184,8 +221,9 @@ def _osconv_jit(u, vp, nfft, nv, nout, Q, interpret,
     Ht = jnp.einsum("kj,jl->kl", s1,
                     jnp.asarray(w2.astype(np.complex64)),
                     precision=jax.lax.Precision.HIGHEST)
-    htabs = [jnp.real(Ht).astype(jnp.float32),
-             jnp.imag(Ht).astype(jnp.float32)]
+    HtQ = jnp.tile(Ht, (Q, 1))                  # (Q*N1, 128) stacked
+    htabs = [jnp.real(HtQ).astype(jnp.float32),
+             jnp.imag(HtQ).astype(jnp.float32)]
     itabs = [jnp.asarray(iw1.real.astype(f32)),
              jnp.asarray(iw1.imag.astype(f32))]
 
@@ -212,15 +250,16 @@ def _osconv_jit(u, vp, nfft, nv, nout, Q, interpret,
                          lambda c, p: (c, jnp.maximum(p - 1, 0), 0),
                          memory_space=pltpu.VMEM),
             const((N1, N1)), const((N1, N1)),
-            const((N1, 128)), const((N1, 128)),
+            const((N1, Q * 128)), const((N1, Q * 128)),
             const((128, 128)), const((128, 128)),
-            const((N1, 128)), const((N1, 128)),
+            const((Q * N1, 128)), const((Q * N1, 128)),
+            const((Q * N1, 128)), const((Q * N1, 128)),
             const((hr, N1)), const((hr, N1)),
         ],
         out_specs=pl.BlockSpec((1, A, 128), lambda c, p: (c, p, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xr, xr, *tabs, *htabs, *itabs)
+    )(xr, xr, *tabs, *htabs, *twqtabs, *itabs)
     y = out.reshape(C, RO * 128)[:, :nout]
     return y.T
 

@@ -17,12 +17,14 @@ never round-trip to HBM.
 
 Index math: a frame of nfft = N1*128 samples starting at b*hop
 (hop % 128 == 0) is N1 rows of the (nrows, 128) row-major signal view,
-rows hr*b + j1 for j1 < N1, hr = hop/128. Rows are regrouped outside
-the kernel (one XLA transpose) into hr interleaved row planes
-Q[m][i] = rows[hr*i + m] so each grid step DMAs hr contiguous row
-blocks (sublane-aligned, lane-width 128) and frame j1-planes become
-*static sublane-offset* slices Q[j1 % hr][b + j1//hr] — the Mosaic-
-friendly replacement for strided framing.
+rows hr*b + j1 for j1 < N1, hr = hop/128. Rows are regrouped into hr
+interleaved row planes Q[m][i] = rows[hr*i + m] — on TPU by ONE fused
+pallas transpose+regroup pass (kernels/transpose.regroup_planes_pallas,
+270 GB/s; the round-3 XLA transpose + swapaxes prep cost more than the
+kernel itself) — so each grid step DMAs hr contiguous row blocks and
+frame j1-planes become *static sublane-offset* slices
+Q[j1 % hr][b + j1//hr], the Mosaic-friendly replacement for strided
+framing.
 
 DFT decomposition (j = j2 + 128*j1, k = k1 + N1*k2):
     X[k1 + N1*k2] = sum_j2 W128[k2, j2] * T[k1, j2] *
