@@ -156,3 +156,49 @@ def transpose_tall_pallas(x, TR=8192, pad_to=None, interpret=False):
     M, N = x.shape
     out_len = -(-max(M, pad_to or 0) // TR) * TR
     return _ttall_jit(x, TR, out_len, interpret)
+
+
+def _kern_spectro(x_ref, o_ref, *, l2):
+    t = x_ref[:, 0, 0, :, :]                 # (C, TF, 128)
+    # 3-step adjacent swaps: Mosaic rejects the direct (2,1,0) permute
+    # but lowers each pairwise swap (device-probed, 0.07 ms/tile)
+    s = jnp.swapaxes(jnp.swapaxes(jnp.swapaxes(t, 0, 1), 1, 2), 0, 1)
+    o_ref[:, 0, :, :] = s[:l2]               # (l2, TF, C)
+
+
+@functools.partial(jax.jit, static_argnames=("l2", "interpret"))
+def _spectro_permute_jit(tile, l2, interpret):
+    C, nb, N1, TB, _ = tile.shape
+    # frame sub-tiles keep the in+out blocks inside VMEM (the whole
+    # (C,1,1,TB,128) block at C=64, TB=256 is 8 MB before buffering)
+    TF = TB
+    while C * TF * 128 * 4 > (2 << 20) and TF % 2 == 0 and TF > 8:
+        TF //= 2
+    nf = TB // TF
+    return pl.pallas_call(
+        functools.partial(_kern_spectro, l2=l2),
+        out_shape=jax.ShapeDtypeStruct((l2, N1, nb * TB, C),
+                                       jnp.float32),
+        grid=(nb, N1, nf),
+        in_specs=[pl.BlockSpec((C, 1, 1, TF, 128),
+                               lambda b, k1, f: (0, b, k1, f, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((l2, 1, TF, C),
+                               lambda b, k1, f: (0, k1, b * nf + f, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tile)
+
+
+def spectro_permute_pallas(tile, l2, interpret=False):
+    """(C, nb, N1, TB, 128) raw STFT power blocks -> (l2, N1, nb*TB, C)
+    whose (l2, N1) flatten is DFT-bin order k = k1 + N1*k2 (k2 < l2)
+    and whose frame axis is nb*TB. Built to replace the XLA 5-D
+    transpose epilogue of the spectrogram path (4.2 ms of the 10.5 ms
+    bench spectrogram, ~90 GB/s) — measured NEGATIVE result: at
+    VMEM-fitting frame sub-tiles (TF=64, C=64) the kernel matches XLA
+    (11.1 vs 10.6 ms end to end; a whole-TB tile hits 230 GB/s but
+    needs 24+ MB of blocks), so the XLA epilogue stays the default and
+    this kernel is kept as measured machinery for smaller channel
+    counts."""
+    return _spectro_permute_jit(tile, int(l2), interpret)

@@ -278,6 +278,9 @@ def _pallas_spectro_pow(s, n, noverlap, nfft, win, r, onesided):
     C, nblocks, N1, TB, _ = tile.shape
     nbins = nfft // 2 + 1 if onesided else nfft
     l2 = (nbins - 1) // N1 + 1
+    # (a pallas permute of this epilogue measured NO win at
+    # VMEM-fitting tile sizes — kernels/transpose.spectro_permute_pallas
+    # records the negative result)
     pw = jnp.transpose(tile[..., :l2], (4, 2, 1, 3, 0))
     pw = pw.reshape(l2 * N1, nblocks * TB, C)[:nbins, :k]
     wts = _psd_weights(nfft, r, onesided)

@@ -570,3 +570,15 @@ class TestRegroupPlanes:
         assert y.shape[1] % 2048 == 0 and y.shape[1] >= 12_000
         np.testing.assert_array_equal(y[:, :10_000], x.T)
         assert np.all(y[:, 10_000:] == 0.0)
+
+    @pytest.mark.parametrize("C,nb,N1,TB,l2", [
+        (3, 2, 8, 16, 65), (1, 1, 4, 8, 33)])
+    def test_spectro_permute(self, C, nb, N1, TB, l2):
+        from dsptpu.kernels.transpose import spectro_permute_pallas
+        tile = rng.standard_normal((C, nb, N1, TB, 128)).astype(
+            np.float32)
+        got = np.asarray(spectro_permute_pallas(jnp.asarray(tile), l2,
+                                                interpret=True))
+        want = np.transpose(tile[..., :l2], (4, 2, 1, 3, 0)).reshape(
+            l2, N1, nb * TB, C)
+        np.testing.assert_array_equal(got, want)
