@@ -582,3 +582,31 @@ class TestRegroupPlanes:
         want = np.transpose(tile[..., :l2], (4, 2, 1, 3, 0)).reshape(
             l2, N1, nb * TB, C)
         np.testing.assert_array_equal(got, want)
+
+
+def test_pfb2_grouped_many_groups():
+    """Grouped mode with a large group count (441//640: 78 MB table,
+    G=21 class groups) — the bench ratio only exercises G=3, and each
+    group is its own pl.when branch with its own table offsets. NOTE
+    for probe writers: python Fraction auto-reduces, so the kernel
+    params must come from the REDUCED ratio (a 441-phase bank against
+    Fraction(441, 480) == 147/160 produces garbage by construction —
+    that is a test bug, not a kernel bug)."""
+    from fractions import Fraction
+    import dsptpu.filters.stream_filt as sfm
+    from dsptpu.filters import resample_filter
+    from dsptpu.kernels import pfb2 as K2
+    ratio = Fraction(441, 640)
+    h = np.asarray(resample_filter(ratio)).astype(np.float32)
+    pfb = sfm.taps2pfb(h, 441)
+    f = sfm.FIRFilter(h, ratio)
+    k = f.kernel
+    phi0, dfc = k.phi_idx, k.input_deficit
+    plan = K2.pfb2_plan(pfb, 441, 640, phi0, dfc)
+    assert plan.G > 3, plan.G
+    rng2 = np.random.default_rng(5)
+    x = rng2.standard_normal(150_000).astype(np.float32)
+    ref = np.asarray(f.filt(jnp.asarray(x)))
+    y = np.asarray(K2.pfb2_resample_pallas(
+        x, pfb, 441, 640, phi0, dfc, len(ref), S=2, interpret=True))
+    np.testing.assert_allclose(y, ref, atol=3e-5)
