@@ -266,3 +266,29 @@ class TestArbitraryDriftPath:
         head, alpha, out_len = sf.kernel.plan(50_000)
         assert _arb_drift_plan(head[0], head[1], alpha, out_len,
                                32, 32) is None
+
+    @pytest.mark.parametrize("rate", [0.98, 1.02, 0.9999, 1.00003,
+                                      0.75, 1.5])
+    def test_rate_sweep_exact_vs_allphase(self, rate):
+        """Across drift-path-eligible and fallback rates alike, the
+        dispatched arbitrary-rate result must equal the all-phase
+        reference on the same plan (guards the _arb_drift_plan gate:
+        a wrong verdict would silently route a rate through the wrong
+        device program)."""
+        from dsptpu.filters.stream_filt import (FIRFilter, _pfb_dot_arb,
+                                                _arb_drift_plan)
+        h = sp.firwin(32 * 32, 1 / 32 * 0.9)
+        x = np.random.default_rng(3).standard_normal(30_000)
+        f = FIRFilter(h, rate)
+        k = f.kernel
+        head, alpha, out_len = k.plan(len(x))
+        got = np.asarray(f.filt(jnp.asarray(x)))
+        xcat = jnp.concatenate([jnp.zeros(f.history_len),
+                                jnp.asarray(x)])
+        end0 = f.history_len + head[0] - 1
+        want = np.asarray(_pfb_dot_arb(
+            xcat, k.pfb_t, k.dpfb_t,
+            jnp.asarray(end0.astype(np.int32)),
+            jnp.asarray(head[1].astype(np.int32)),
+            jnp.asarray(alpha), k.taps_per_phi))
+        np.testing.assert_allclose(got, want, atol=1e-11)
