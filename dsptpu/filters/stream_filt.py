@@ -912,6 +912,7 @@ class FIRFilter:
             if cache is None or cache[0] != key:
                 head, alpha, out_len = k.plan(xlen)
                 drift = None
+                arbd_dev = None
                 if out_len:
                     x_idx, phi_idx = head[0], head[1]
                     adt = (x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
@@ -920,10 +921,26 @@ class FIRFilter:
                     dev = (jnp.asarray(end0.astype(np.int32)),
                            jnp.asarray(phi_idx.astype(np.int32)),
                            jnp.asarray(alpha, dtype=adt))
+                    simple = (x.ndim == 1 and not jnp.iscomplexobj(x)
+                              and not jnp.iscomplexobj(k.pfb_t))
+                    if simple and jnp.dtype(jnp.result_type(
+                            xcat.dtype, adt)) == jnp.dtype(jnp.float32):
+                        # drift-window Pallas kernel (kernels/arbd):
+                        # z stays in VMEM, no gathers, no z relayout
+                        from ..ops import dspbase as _db
+                        from ..kernels import arbd as _arbd
+                        use_k, interp_k = _db._pallas_os_state()
+                        if use_k and _arbd.arbd_supported(
+                                k.nphi, k.taps_per_phi, jnp.float32):
+                            ap = _arbd.arbd_plan(
+                                x_idx, phi_idx, alpha, out_len, k.nphi,
+                                k.taps_per_phi,
+                                self.history_len + xlen)
+                            if ap is not None:
+                                arbd_dev = (_arbd._ArbdDev(ap), interp_k)
                     dp = (_arb_drift_plan(x_idx, phi_idx, alpha, out_len,
                                           k.nphi, k.taps_per_phi)
-                          if x.ndim == 1 and not jnp.iscomplexobj(x)
-                          and not jnp.iscomplexobj(k.pfb_t) else None)
+                          if simple and arbd_dev is None else None)
                     if dp is not None:
                         tdt = jnp.result_type(
                             np.asarray(k.pfb_t).dtype, adt)
@@ -947,9 +964,29 @@ class FIRFilter:
                                  dp["SEG"], dp["K"], dp["niter"], hd)
                 else:
                     dev = None
-                cache = k._plan_cache = (key, dev, out_len, drift)
-            _, dev, out_len, drift = cache
-            if out_len and drift is not None:
+                cache = k._plan_cache = (key, dev, out_len, drift,
+                                         arbd_dev)
+            _, dev, out_len, drift, arbd_dev = cache
+            if out_len and arbd_dev is not None:
+                from ..kernels import arbd as _arbd
+                adev, interp_k = arbd_dev
+                tabs = getattr(k, "_arbd_tabs", None)
+                if tabs is None:
+                    TA, TB = _arbd._arbd_tables(
+                        np.asarray(k.pfb_t).T.astype(np.float32))
+                    tabs = k._arbd_tabs = (jax.device_put(TA),
+                                           jax.device_put(TB))
+                y = _arbd.arbd_resample_pallas(
+                    xcat.astype(jnp.float32), adev, tabs, k.nphi,
+                    k.taps_per_phi, out_len,
+                    h0=float(np.asarray(k.pfb_t)[0, -1]),
+                    hL=float(self.h[k.hlen - 1]),
+                    pstar=(k.hlen - 1) % k.nphi,
+                    tstar=(k.taps_per_phi - 1
+                           - (k.hlen - 1 - (k.hlen - 1) % k.nphi)
+                           // k.nphi),
+                    interpret=interp_k)
+            elif out_len and drift is not None:
                 (Gp, m0, dvb, phiq, alphq, phiqb, alphqb, isb,
                  SEG, K, niter, hd) = drift
                 # K zeros at the front (block bases can dip to -K when

@@ -59,9 +59,11 @@ except Exception:  # pragma: no cover
 __all__ = ["arbd_supported", "arbd_plan", "arbd_resample_pallas",
            "pallas_available"]
 
-SEG = 16384            # outputs per grid step
-NSEG = 16              # max drift segments per block
-_XP_CAP = 288          # position rows per step cap (NW <= 36864)
+SEG = 32768            # outputs per grid step
+NSEG = 40              # max drift segments per block (covers
+#                        |1 - 1/rate| <~ 1.2e-3 at SEG=32768; padded
+#                        segments are pl.when-skipped at run time)
+_XP_CAP = 320          # position rows per step cap (NW <= 40960)
 
 
 def arbd_supported(nphi, taps, dtype):
@@ -125,9 +127,12 @@ def arbd_plan(x_idx, phi_idx, alpha, out_len, nphi, winlen, xlen):
     dv = (c - 128 * row0[:, None])                        # (niter, SEG)
     if dv.min() < 0:
         return None
-    # position span per block (incl. the u+1 wrap partner)
+    # position span per block (incl. the u+1 wrap partner); NW rounds
+    # to 1024 so XP is a multiple of 8 — tpu.dynamic_rotate rejects
+    # sublane-unaligned vector shapes (device-probed: (137,128) fails
+    # "unsupported unaligned shape", (136,128) compiles)
     nw_need = int((ub.max(axis=1) - 128 * row0).max()) + 3
-    NW = -(-nw_need // 128) * 128
+    NW = -(-nw_need // 1024) * 1024
     XP = NW // 128
     if XP > _XP_CAP:
         return None
@@ -194,7 +199,7 @@ def _make_kernel(XP, XSL, XB, SEGR, nphi, NSEGk, winlen, h0, hL,
 
     def kern(qx_s, offx_s, vseg_s, mseg_s, mend_s,
              xa, xb, pa, pb, aa, ab, ta, tb,
-             o_ref, xscr, pscr, ascr, zt):
+             o_ref, xscr, pscr, ascr):
         i = pl.program_id(0)
         xscr[pl.ds(0, XB), :] = xa[...]
         xscr[pl.ds(XB, XB), :] = xb[...]
@@ -206,24 +211,28 @@ def _make_kernel(XP, XSL, XB, SEGR, nphi, NSEGk, winlen, h0, hL,
         xse = xscr[pl.ds(off, XSL), :]              # (XSL, 128)
         A0 = xse[:XP]
         A1 = xse[1:XP + 1]
-        # all-phase zT: per 4-phase group, two lane-mixing matmuls
+        ph = pscr[pl.ds(off, XP), :]
+        php1 = ph + 1
+        al = ascr[pl.ds(off, XP), :]
+        # all-phase z per 4-phase group (two lane-mixing matmuls), with
+        # the phase/alpha select fused into the group loop: the z slab
+        # never round-trips through a scratch (v1 staged all nphi slabs
+        # via stride-nphi stores+loads; fusing removed 2*nphi strided
+        # VMEM passes per step)
+        A = jnp.zeros((XP, 128), f32)
+        N = jnp.zeros((XP, 128), f32)
+        z0 = None
         for g in range(G):
             Zg = (dot(A0, ta[128 * g: 128 * (g + 1), :])
                   + dot(A1, tb[128 * g: 128 * (g + 1), :]))
             for jj in range(4):
-                zt[pl.Slice(4 * g + jj, XP, nphi), :] = \
-                    Zg[:, 128 * jj: 128 * (jj + 1)]
-        ph = pscr[pl.ds(off, XP), :]
-        al = ascr[pl.ds(off, XP), :]
-        A = jnp.zeros((XP, 128), f32)
-        N = jnp.zeros((XP, 128), f32)
-        for p in range(nphi):
-            vp = zt[pl.Slice(p, XP, nphi), :]
-            A = A + jnp.where(ph == p, vp, 0.0)
-            if p >= 1:
-                N = N + jnp.where(ph == p - 1, vp, 0.0)
+                p = 4 * g + jj
+                vp = Zg[:, 128 * jj: 128 * (jj + 1)]
+                A = A + jnp.where(ph == p, vp, 0.0)
+                N = N + jnp.where(php1 == p, vp, 0.0)
+                if p == 0:
+                    z0 = vp
         # phase-wrap partner: z_0(u+1) - h0 * xp[u + winlen]
-        z0 = zt[pl.Slice(0, XP, nphi), :]
         z0n = pltpu.roll(z0, XP - 1, axis=0)        # z0 rows shifted +1
         z0p1 = _flatshift_static(z0, z0n, 1)
         xq1 = _flatshift_static(A0, A1, winlen)
@@ -233,25 +242,29 @@ def _make_kernel(XP, XSL, XB, SEGR, nphi, NSEGk, winlen, h0, hL,
         N = N + jnp.where(ph == pstar, hL * xqs, 0.0)
         zsel = A + al * (N - A)                     # (XP, 128)
         zsn = pltpu.roll(zsel, XP - 1, axis=0)
-        # drift compaction: y[m] = zsel[m + v_s] on segment s
+        # drift compaction: y[m] = zsel[m + v_s] on segment s; padded
+        # segments (m0s == m1s) are skipped at run time
         fi = (128 * jax.lax.broadcasted_iota(jnp.int32, (SEGR, 128), 0)
               + jax.lax.broadcasted_iota(jnp.int32, (SEGR, 128), 1))
-        acc = jnp.zeros((SEGR, 128), f32)
+        o_ref[...] = jnp.zeros((SEGR, 128), f32)
         for s in range(NSEGk):
             v = vseg_s[i * NSEGk + s]
             m0s = mseg_s[i * NSEGk + s]
             m1s = mend_s[i * NSEGk + s]
-            vr = v // 128
-            vl = v % 128
-            b1 = pltpu.roll(zsel, (XP - vr) % XP, axis=0)
-            b2 = pltpu.roll(zsn, (XP - vr) % XP, axis=0)
-            l1 = pltpu.roll(b1, (128 - vl) % 128, axis=1)
-            l2 = pltpu.roll(b2, (128 - vl) % 128, axis=1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (XP, 128), 1)
-            vlb = jnp.full((XP, 128), vl, jnp.int32)
-            sh = jnp.where(lane < 128 - vlb, l1, l2)[:SEGR]
-            acc = acc + jnp.where((fi >= m0s) & (fi < m1s), sh, 0.0)
-        o_ref[...] = acc
+
+            @pl.when(m0s < m1s)
+            def _(v=v, m0s=m0s, m1s=m1s):
+                vr = v // 128
+                vl = v % 128
+                b1 = pltpu.roll(zsel, (XP - vr) % XP, axis=0)
+                b2 = pltpu.roll(zsn, (XP - vr) % XP, axis=0)
+                l1 = pltpu.roll(b1, (128 - vl) % 128, axis=1)
+                l2 = pltpu.roll(b2, (128 - vl) % 128, axis=1)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (XP, 128), 1)
+                vlb = jnp.full((XP, 128), vl, jnp.int32)
+                sh = jnp.where(lane < 128 - vlb, l1, l2)[:SEGR]
+                o_ref[...] = o_ref[...] + jnp.where(
+                    (fi >= m0s) & (fi < m1s), sh, 0.0)
 
     return kern
 
@@ -285,12 +298,20 @@ def _arbd_jit(x2, phiq2, alphq2, ta, tb, qx, offx, vseg, mseg, mend,
             pl.BlockSpec((XB, 128),
                          lambda i, q, o, v, m, e: (q[i] + 1, 0),
                          memory_space=pltpu.VMEM),
+            # resident tap tables: constant block index (never
+            # refetched); single-buffered to halve their VMEM
             pl.BlockSpec((G * 128, 512),
                          lambda i, q, o, v, m, e: (0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM,
+                         **({} if interpret else
+                            {"pipeline_mode": pl.Buffered(
+                                buffer_count=1)})),
             pl.BlockSpec((G * 128, 512),
                          lambda i, q, o, v, m, e: (0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM,
+                         **({} if interpret else
+                            {"pipeline_mode": pl.Buffered(
+                                buffer_count=1)})),
         ],
         out_specs=pl.BlockSpec((SEGR, 128),
                                lambda i, q, o, v, m, e: (i, 0),
@@ -299,7 +320,6 @@ def _arbd_jit(x2, phiq2, alphq2, ta, tb, qx, offx, vseg, mseg, mend,
             pltpu.VMEM((2 * XB, 128), jnp.float32),
             pltpu.VMEM((2 * XB, 128), jnp.int32),
             pltpu.VMEM((2 * XB, 128), jnp.float32),
-            pltpu.VMEM((nphi * XP, 128), jnp.float32),
         ])
     out = pl.pallas_call(
         kern,
