@@ -31,6 +31,7 @@ from jax import shard_map
 __all__ = ["shard_fir", "shard_fftfilt", "shard_welch", "shard_sosfilt",
            "shard_filtfilt",
            "shard_stft_pow", "shard_spectrogram", "shard_mt_spectrogram",
+           "shard_mt_cross_power_spectra", "shard_mt_coherence",
            "shard_resample", "compact_shards"]
 
 
@@ -765,3 +766,88 @@ def shard_mt_spectrogram(x, config, n_overlap=None, mesh=None,
         return pw * valid.reshape((nseg,) + (1,) * (pw.ndim - 1))
 
     return run(x)
+
+
+def shard_mt_cross_power_spectra(signal, mesh, config=None,
+                                 shard_axis="time", fs=1.0, demean=False,
+                                 freq_range=None, **kwargs):
+    """Taper-sharded multitaper cross power spectra (distributed form
+    of the chan x chan x freq x taper accumulation, reference
+    multitaper.jl:544-651).
+
+    The taper bank is split over the mesh axis `shard_axis` (each
+    device rffts + accumulates S^{lm} for its tapers only), then one
+    psum yields the full cross-spectral matrix replicated on every
+    device. The signal (n_channels, n_samples) is replicated — the
+    lm-pairing needs all channels on each device, so channels cannot
+    shard, but the taper dimension is embarrassingly parallel and
+    carries the whole FFT cost. Tapers pad to a multiple of the axis
+    size with zero-weight zero tapers (contribute exactly 0).
+
+    Returns CrossPowerSpectra identical to mt_cross_power_spectra.
+    """
+    from ..ops.multitaper import (MTConfig, MTCrossSpectraConfig,
+                                  CrossPowerSpectra, _freq_mask)
+    signal = jnp.asarray(signal)
+    if jnp.iscomplexobj(signal):
+        raise ValueError("only real signals supported (onesided)")
+    n_channels, n_samples = signal.shape
+    if isinstance(config, MTCrossSpectraConfig):
+        demean = config.demean
+        freq_range = config.freq_range
+        config = config.mt_config
+    elif config is None:
+        config = MTConfig.create(n_samples, fs=fs, onesided=True, **kwargs)
+    if not config.onesided:
+        raise ValueError("cross power spectra are onesided")
+    if demean:
+        signal = signal - jnp.mean(signal, axis=1, keepdims=True)
+    nsh = mesh.shape[shard_axis]
+    # host: taper bank (ntapers, n) + weights, zero-padded to nsh | K
+    tap = np.asarray(config.window_array).T            # (ntapers, n)
+    w = 2.0 / np.asarray(config.r)                     # (ntapers,)
+    K = tap.shape[0]
+    Kp = -(-K // nsh) * nsh
+    if Kp != K:
+        tap = np.concatenate([tap, np.zeros((Kp - K, tap.shape[1]))])
+        w = np.concatenate([w, np.zeros(Kp - K)])
+    nfft = config.nfft
+    nfreq = nfft // 2 + 1
+    corr = np.ones(nfreq)
+    corr[0] = 1 / np.sqrt(2)
+    if nfft % 2 == 0:
+        corr[-1] = 1 / np.sqrt(2)
+    idx, freqs = _freq_mask(config.freq, freq_range)
+    dt = signal.dtype
+    tap_j = jnp.asarray(tap, dtype=dt)
+    w_j = jnp.asarray(w, dtype=dt)
+    corr_j = jnp.asarray(corr, dtype=dt)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(shard_axis), P(shard_axis)),
+             out_specs=P())
+    def run(s, tap_l, w_l):
+        F = jnp.fft.rfft(s[:, None, :] * tap_l[None], n=nfft, axis=-1)
+        F = F * corr_j                         # (nch, k_local, nfreq)
+        if not isinstance(idx, slice):
+            F = F[:, :, jnp.asarray(idx)]
+        part = jnp.einsum("k,lkf,mkf->lmf", w_l, F, jnp.conj(F))
+        return lax.psum(part, shard_axis)
+
+    return CrossPowerSpectra(run(signal, tap_j, w_j), freqs)
+
+
+def shard_mt_coherence(signal, mesh, config=None, shard_axis="time",
+                       fs=1.0, demean=False, freq_range=None, **kwargs):
+    """Pairwise channel coherences from the taper-sharded cross
+    spectra (reference multitaper.jl:765-817). The coherence
+    normalization runs replicated (it is O(nch^2 nfreq), negligible
+    next to the sharded FFT/accumulation)."""
+    from ..ops.multitaper import (Coherence, MTCoherenceConfig,
+                                  coherence_from_cs)
+    if isinstance(config, MTCoherenceConfig):
+        config = config.cs_config
+    cs = shard_mt_cross_power_spectra(
+        signal, mesh, config=config, shard_axis=shard_axis, fs=fs,
+        demean=demean, freq_range=freq_range, **kwargs)
+    return Coherence(coherence_from_cs(cs.power), cs.freq)

@@ -318,3 +318,51 @@ class TestOddLengthAutopad:
                                    np.asarray(ref.power).T,
                                    rtol=1e-9, atol=1e-12)
         assert np.all(np.asarray(pw)[k:] == 0)
+
+
+class TestShardMTCrossSpectra:
+    """Taper-sharded cross power spectra / coherence must match the
+    unsharded ops exactly (tapers pad with zero weight; psum over the
+    shard axis reassembles the full taper sum)."""
+
+    def test_matches_cross_power_spectra(self, mesh):
+        from dsptpu.parallel import shard_mt_cross_power_spectra
+        from dsptpu.ops.multitaper import mt_cross_power_spectra
+        x = rng.standard_normal((4, 1024))
+        got = shard_mt_cross_power_spectra(x, mesh, nw=4)  # 7 tapers: pads
+        ref = mt_cross_power_spectra(jnp.asarray(x), nw=4)
+        np.testing.assert_allclose(np.asarray(got.power),
+                                   np.asarray(ref.power),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got.freq),
+                                   np.asarray(ref.freq))
+
+    def test_divisible_tapers_freq_range_demean(self, mesh):
+        from dsptpu.parallel import shard_mt_cross_power_spectra
+        from dsptpu.ops.multitaper import (mt_cross_power_spectra,
+                                           MTCrossSpectraConfig)
+        x = rng.standard_normal((3, 512)) + 0.7
+        cfg = MTCrossSpectraConfig.create(
+            3, 512, fs=2.0, demean=True, freq_range=(0.1, 0.8),
+            ntapers=8, nw=5)
+        got = shard_mt_cross_power_spectra(x, mesh, config=cfg)
+        ref = mt_cross_power_spectra(jnp.asarray(x), config=cfg)
+        assert got.power.shape == ref.power.shape
+        np.testing.assert_allclose(np.asarray(got.power),
+                                   np.asarray(ref.power),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_coherence(self, mesh):
+        from dsptpu.parallel import shard_mt_coherence
+        from dsptpu.ops.multitaper import mt_coherence
+        n = 2048
+        t = np.arange(n)
+        common = np.sin(2 * np.pi * 0.07 * t)
+        x = np.stack([common + 0.3 * rng.standard_normal(n),
+                      common + 0.3 * rng.standard_normal(n),
+                      rng.standard_normal(n)])
+        got = shard_mt_coherence(x, mesh, nw=4)
+        ref = mt_coherence(jnp.asarray(x), nw=4)
+        np.testing.assert_allclose(np.asarray(got.coherence),
+                                   np.asarray(ref.coherence),
+                                   rtol=1e-8, atol=1e-10)
