@@ -12,7 +12,7 @@ Capability parity target: JuliaDSP/DSP.jl (see SURVEY.md). Architecture:
 
 from . import ops, utils, filters
 from .ops import windows
-from .ops.dspbase import conv, deconv, xcorr
+from .ops.dspbase import conv, conv_with_offset, deconv, xcorr
 from .filters import (filt, sosfilt, DF2TFilter, filtfilt, fftfilt, tdfilt,
                       ZeroPoleGain, PolynomialRatio, Biquad,
                       SecondOrderSections, coefb, coefa,

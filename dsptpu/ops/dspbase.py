@@ -50,7 +50,8 @@ def _pallas_os_state():
         return True, on_cpu
     return (not on_cpu), False
 
-__all__ = ["filt", "conv", "deconv", "xcorr", "optimal_os_nfft"]
+__all__ = ["filt", "conv", "conv_with_offset", "deconv", "xcorr",
+           "optimal_os_nfft"]
 
 # Crossover between direct and FFT convolution, in units of
 # len(u)*len(v) (reference dspbase.jl:724 uses 2^16 for FFTW; the MXU
@@ -634,6 +635,41 @@ def conv(u, v, A=None, algorithm="auto"):
             return _conv_os_nd(u, v, outsize)
         return _conv_os_1d(u, v)
     raise ValueError(f"unknown convolution algorithm {algorithm!r}")
+
+
+def conv_with_offset(u, v, u_offsets=None, v_offsets=None,
+                     algorithm="auto"):
+    """Offset-axes convolution: numpy analogue of the reference's
+    OffsetArrays conv support (ext/OffsetArraysExt.jl:5,
+    dspbase.jl:663-672). Julia attaches per-axis index offsets to the
+    arrays themselves; here they ride alongside as `u_offsets` /
+    `v_offsets` (int or per-axis tuple: the index of each array's
+    first element on its global axis). Returns `(out, out_offsets)`
+    with `out = conv(u, v)` and `out_offsets[d] = u_offsets[d] +
+    v_offsets[d]` — the reference's output axis range
+    `firstindex(u)+firstindex(v) : lastindex(u)+lastindex(v)` in
+    offset form. Mixing offset and plain axes is the caller's choice
+    (offsets default to 0), unlike Julia where it is a type error.
+    """
+    u = jnp.asarray(u)
+    v = jnp.asarray(v)
+    nd = max(u.ndim, v.ndim)
+
+    def norm(off, name):
+        if off is None:
+            return (0,) * nd
+        if np.isscalar(off):
+            off = (int(off),) * nd
+        off = tuple(int(o) for o in off)
+        if len(off) != nd:
+            raise ValueError(f"{name} must have one offset per axis "
+                             f"({nd}), got {len(off)}")
+        return off
+
+    uo = norm(u_offsets, "u_offsets")
+    vo = norm(v_offsets, "v_offsets")
+    out = conv(u, v, algorithm=algorithm)
+    return out, tuple(a + b for a, b in zip(uo, vo))
 
 
 # ---------------------------------------------------------------------------

@@ -305,3 +305,27 @@ def test_conv_3d_blocked():
     ref = fftconvolve(A, B, mode="full")
     got = np.asarray(conv(A, B, algorithm="fft_overlapsave"))
     np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-8)
+
+
+def test_conv_with_offset():
+    """Offset-axes conv analogue (reference ext/OffsetArraysExt.jl:5 +
+    dspbase.jl:663-672): out offset = sum of input offsets per axis;
+    values are the plain full convolution."""
+    from dsptpu import conv_with_offset
+    rng = np.random.default_rng(5)
+    u = rng.standard_normal(20)
+    v = rng.standard_normal(7)
+    out, off = conv_with_offset(u, v, u_offsets=-3, v_offsets=10)
+    assert off == (7,)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.convolve(u, v), atol=1e-12)
+    # 2-D with per-axis offsets, defaults to 0
+    A = rng.standard_normal((6, 5))
+    B = rng.standard_normal((3, 4))
+    out2, off2 = conv_with_offset(A, B, u_offsets=(1, -2))
+    assert off2 == (1, -2)
+    from scipy.signal import fftconvolve
+    np.testing.assert_allclose(np.asarray(out2),
+                               fftconvolve(A, B, mode="full"), atol=1e-10)
+    with pytest.raises(ValueError):
+        conv_with_offset(A, B, u_offsets=(1, 2, 3))
