@@ -246,9 +246,6 @@ def _blockss_apply(ss, x, z0, need_state=True, transposed=False,
         C, n = x.shape
     else:
         n, C = x.shape
-    if reverse and need_state and n % ss.V:
-        raise NotImplementedError(
-            "reverse pass produces state only for V-aligned lengths")
     if not need_state and _pallas_iir_ok(ss, n, dtype):
         from ..kernels.biir import blockss_filt_pallas
         import jax as _jax
@@ -290,7 +287,23 @@ def _blockss_apply(ss, x, z0, need_state=True, transposed=False,
             y = y.T
         if not need_state:
             return y, None
-        return y, Zr[:, -1].T                # state entering sample 0
+        if npad == 0:
+            return y, Zr[:, -1].T            # state entering sample 0
+        # non-V-aligned: the front-padded block's pad zeros sit BELOW
+        # sample 0 in reversed processing order; the state entering
+        # sample 0 is the recurrence v+1 = V-npad steps into the final
+        # reversed block: z = A^{v+1} z_in + sum_k A^k c x[pad+k]
+        # (mirror of the forward partial-block extraction below)
+        v = V - npad - 1
+        Kp = np.zeros((ss.p, V))
+        Kp[:, npad:] = (ss.powers[: v + 1] @ ss.c).T
+        xfirst = xT.reshape(C, B, V)[:, 0]               # (C, V)
+        zf = (jnp.einsum("ab,cb->ac", jnp.asarray(
+            ss.powers[v + 1]).astype(dtype), Zstart[:, 0],
+            precision=prec)
+            + jnp.dot(xfirst, jnp.asarray(Kp.T).astype(dtype),
+                      preferred_element_type=dtype, precision=prec).T)
+        return y, zf
     else:
         Z = _affine_rec(ss.AV, U, z0)                    # (C, B, p)
         Zstart = jnp.concatenate([z0.T[:, None, :], Z[:, :-1]], axis=1)

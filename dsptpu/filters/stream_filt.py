@@ -901,8 +901,18 @@ class FIRFilter:
         newhist = None
         xcat = None
         if isinstance(k, FIRArbitrary):
-            xcat = jnp.concatenate([self.history, x], axis=0) \
-                if self.history_len else x
+            # xcat stays lazy: the arbd kernel path concats history+x
+            # inside its jit (the eager concat costs an extra HBM pass
+            # + dispatch per step); only the XLA fallbacks build it
+            xcat_dtype = (jnp.result_type(self.history.dtype, x.dtype)
+                          if self.history_len else x.dtype)
+
+            def _xcat():
+                nonlocal xcat
+                if xcat is None:
+                    xcat = (jnp.concatenate([self.history, x], axis=0)
+                            if self.history_len else x)
+                return xcat
             # cache the (host-exact) per-output index arrays on device:
             # streaming with a fixed chunk size re-plans identically,
             # and the upload (not the compute) dominates over a
@@ -924,7 +934,7 @@ class FIRFilter:
                     simple = (x.ndim == 1 and not jnp.iscomplexobj(x)
                               and not jnp.iscomplexobj(k.pfb_t))
                     if simple and jnp.dtype(jnp.result_type(
-                            xcat.dtype, adt)) == jnp.dtype(jnp.float32):
+                            xcat_dtype, adt)) == jnp.dtype(jnp.float32):
                         # drift-window Pallas kernel (kernels/arbd):
                         # z stays in VMEM, no gathers, no z relayout
                         from ..ops import dspbase as _db
@@ -976,8 +986,10 @@ class FIRFilter:
                         np.asarray(k.pfb_t).T.astype(np.float32))
                     tabs = k._arbd_tabs = (jax.device_put(TA),
                                            jax.device_put(TB))
+                hist0 = (self.history if self.history_len
+                         else jnp.zeros((0,), x.dtype))
                 y = _arbd.arbd_resample_pallas(
-                    xcat.astype(jnp.float32), adev, tabs, k.nphi,
+                    hist0, x, adev, tabs, k.nphi,
                     k.taps_per_phi, out_len,
                     h0=float(np.asarray(k.pfb_t)[0, -1]),
                     hL=float(self.h[k.hlen - 1]),
@@ -994,9 +1006,10 @@ class FIRFilter:
                 # slices ever clamp — one copy, folded into the history
                 # concat the arb path already pays
                 pad = SEG + K + 2 * k.taps_per_phi + 64
+                xc = _xcat()
                 xp = jnp.concatenate(
-                    [jnp.zeros((K,), xcat.dtype), xcat,
-                     jnp.zeros((pad,), xcat.dtype)])
+                    [jnp.zeros((K,), xc.dtype), xc,
+                     jnp.zeros((pad,), xc.dtype)])
                 y = _pfb_dot_arb_drift(
                     xp, Gp, m0, dvb, phiq, alphq, phiqb, alphqb, isb,
                     SEG=SEG, K=K, niter=niter, winlen=k.taps_per_phi,
@@ -1009,7 +1022,7 @@ class FIRFilter:
                            - (k.hlen - 1 - (k.hlen - 1) % k.nphi)
                            // k.nphi))
             elif out_len:
-                y = _pfb_dot_arb(xcat, k.pfb_t, k.dpfb_t,
+                y = _pfb_dot_arb(_xcat(), k.pfb_t, k.dpfb_t,
                                  dev[0], dev[1], dev[2], k.taps_per_phi)
             else:
                 y = jnp.zeros((0,) + x.shape[1:],
@@ -1059,9 +1072,15 @@ class FIRFilter:
         if self.history_len:
             if newhist is not None:
                 self.history = newhist
+            elif xcat is not None:
+                self.history = xcat[xcat.shape[0] - self.history_len:]
+            elif xlen >= self.history_len:
+                # tail slice of x alone (the lazy-xcat fast paths never
+                # materialise history+x; a full concat for a tap-length
+                # tail would be an extra 10-40 MB HBM pass per chunk)
+                self.history = x[xlen - self.history_len:]
             else:
-                if xcat is None:
-                    xcat = jnp.concatenate([self.history, x], axis=0)
+                xcat = jnp.concatenate([self.history, x], axis=0)
                 self.history = xcat[xcat.shape[0] - self.history_len:]
         return y
 

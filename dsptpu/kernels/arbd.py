@@ -13,13 +13,13 @@ p263/p264: in-bounds dynamic Blocked indices, in-kernel dynamic
     xp; all per-position arrays (phase, alpha, z, selected output) live
     as (rows, 128) with u = 128*row + lane — no lane/sublane regrouping
     anywhere.
-  * zT = all-phase PFB evaluation, phase-major with a stride-nphi row
-    interleave: zT[p::nphi][r, l] = sum_t pfb[t, p] * xp[128 r + l + t].
-    Computed per 4-phase group as TWO resident lane-mixing matmuls
-    (window rows r and r+1): (XP,128) @ (128,512) at HIGHEST — the
-    pfb2-style tap table absorbs the tap/lane geometry, the 128-lane
-    contraction carries a 128/taps FLOP overcount (4x at 32 taps) as
-    the price of MXU dense shapes.
+  * all-phase PFB evaluation as TWO wide resident lane-mixing matmuls
+    (window rows r and r+1): (XP,128) @ (128,128*nphi) at HIGHEST,
+    phase-major on columns — the pfb2-style tap table absorbs the
+    tap/lane geometry, the 128-lane contraction carries a 128/taps
+    FLOP overcount (4x at 32 taps) as the price of MXU dense shapes,
+    and the single wide shared-RHS matmul keeps the MXU at its big-N
+    rate (v2 ran 16 N=512 group matmuls per step).
   * per-step dynamic input: the grid walks SEG-output blocks whose
     input row origin row0_i drifts (prefetched); x / phiq / alphq each
     arrive as TWO consecutive dynamically-indexed blocks, concatenated
@@ -74,27 +74,24 @@ def arbd_supported(nphi, taps, dtype):
 
 
 def _arbd_tables(pfb, dtype=np.float32):
-    """(G*128, 512) lane-mixing tap tables for window rows r (TA) and
-    r+1 (TB): TA[g*128 + li, 128*jj + lo] = pfb[li - lo, 4g + jj] for
+    """(128, 128*nphi) lane-mixing tap tables for window rows r (TA)
+    and r+1 (TB): TA[li, 128*p + lo] = pfb[li - lo, p] for
     0 <= li - lo < taps; TB holds the row-crossing taps
-    (t = 128 + li - lo). Host numpy scatter, float32."""
+    (t = 128 + li - lo). Phase-major on columns so the whole PFB is
+    TWO wide (XP,128)@(128,128*nphi) matmuls (v2 ran 4-phase groups of
+    N=512 matmuls; one wide shared-RHS matmul keeps the MXU at its
+    big-N rate). Host numpy scatter, float32."""
     taps, nphi = pfb.shape
-    G = nphi // 4
-    TA = np.zeros((G, 128, 512), dtype)
-    TB = np.zeros((G, 128, 512), dtype)
+    TA = np.zeros((128, nphi, 128), dtype)
+    TB = np.zeros((128, nphi, 128), dtype)
     lo = np.arange(128)
     for t in range(taps):
         li = lo + t
         in_a = li < 128
-        pos_a = lo[in_a]
-        pos_b = lo[~in_a]
-        for g in range(G):
-            for jj in range(4):
-                p = 4 * g + jj
-                TA[g, li[in_a], 128 * jj + pos_a] = pfb[t, p]
-                if pos_b.size:
-                    TB[g, li[~in_a] - 128, 128 * jj + pos_b] = pfb[t, p]
-    return TA.reshape(G * 128, 512), TB.reshape(G * 128, 512)
+        TA[li[in_a], :, lo[in_a]] = pfb[t]
+        if (~in_a).any():
+            TB[li[~in_a] - 128, :, lo[~in_a]] = pfb[t]
+    return (TA.reshape(128, nphi * 128), TB.reshape(128, nphi * 128))
 
 
 def arbd_plan(x_idx, phi_idx, alpha, out_len, nphi, winlen, xlen):
@@ -191,7 +188,6 @@ def _flatshift_static(v0, v1, sh):
 
 def _make_kernel(XP, XSL, XB, SEGR, nphi, NSEGk, winlen, h0, hL,
                  pstar, tstar, prec):
-    G = nphi // 4
     f32 = jnp.float32
 
     def dot(a, b):
@@ -214,24 +210,19 @@ def _make_kernel(XP, XSL, XB, SEGR, nphi, NSEGk, winlen, h0, hL,
         ph = pscr[pl.ds(off, XP), :]
         php1 = ph + 1
         al = ascr[pl.ds(off, XP), :]
-        # all-phase z per 4-phase group (two lane-mixing matmuls), with
-        # the phase/alpha select fused into the group loop: the z slab
-        # never round-trips through a scratch (v1 staged all nphi slabs
-        # via stride-nphi stores+loads; fusing removed 2*nphi strided
-        # VMEM passes per step)
+        # all-phase z as TWO wide matmuls (XP,128)@(128,128*nphi):
+        # round-4 rule — merge per-group small-N matmuls into one wide
+        # shared-RHS matmul (N=512 group matmuls ran the MXU at its
+        # small-N rate) and do the phase/alpha one-hot select AFTER on
+        # the VPU (~free at 11 ns/tile-op)
+        Zall = dot(A0, ta[...]) + dot(A1, tb[...])  # (XP, 128*nphi)
         A = jnp.zeros((XP, 128), f32)
         N = jnp.zeros((XP, 128), f32)
-        z0 = None
-        for g in range(G):
-            Zg = (dot(A0, ta[128 * g: 128 * (g + 1), :])
-                  + dot(A1, tb[128 * g: 128 * (g + 1), :]))
-            for jj in range(4):
-                p = 4 * g + jj
-                vp = Zg[:, 128 * jj: 128 * (jj + 1)]
-                A = A + jnp.where(ph == p, vp, 0.0)
-                N = N + jnp.where(php1 == p, vp, 0.0)
-                if p == 0:
-                    z0 = vp
+        z0 = Zall[:, 0:128]
+        for p in range(nphi):
+            vp = Zall[:, 128 * p: 128 * (p + 1)]
+            A = A + jnp.where(ph == p, vp, 0.0)
+            N = N + jnp.where(php1 == p, vp, 0.0)
         # phase-wrap partner: z_0(u+1) - h0 * xp[u + winlen]
         z0n = pltpu.roll(z0, XP - 1, axis=0)        # z0 rows shifted +1
         z0p1 = _flatshift_static(z0, z0n, 1)
@@ -270,16 +261,25 @@ def _make_kernel(XP, XSL, XB, SEGR, nphi, NSEGk, winlen, h0, hL,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "niter", "XP", "XSL", "XB", "nphi", "winlen", "h0", "hL",
+    "niter", "XP", "XSL", "XB", "rx_rows", "nphi", "winlen", "h0", "hL",
     "pstar", "tstar", "out_len", "interpret"))
-def _arbd_jit(x2, phiq2, alphq2, ta, tb, qx, offx, vseg, mseg, mend,
-              niter, XP, XSL, XB, nphi, winlen, h0, hL, pstar, tstar,
-              out_len, interpret):
+def _arbd_jit(hist, x, phiq2, alphq2, ta, tb, qx, offx, vseg, mseg, mend,
+              niter, XP, XSL, XB, rx_rows, nphi, winlen, h0, hL,
+              pstar, tstar, out_len, interpret):
+    # front-end glue fused into the compiled program: eager
+    # concat+cast+pad+reshape cost ~0.7 ms/2.5M over the tunnel
+    # (3 dispatches + 2 extra HBM passes); in-jit XLA fuses them into
+    # the pipeline's first fetch
+    xcat = jnp.concatenate([hist, x]) if hist.shape[0] else x
+    xcat = xcat.astype(jnp.float32)
+    need = rx_rows * 128
+    n = xcat.shape[0]
+    xp = jnp.pad(xcat, (0, need - n)) if need > n else xcat[:need]
+    x2 = xp.reshape(rx_rows, 128)
     SEGR = SEG // 128
     prec = jax.lax.Precision.HIGHEST
     kern = _make_kernel(XP, XSL, XB, SEGR, nphi, NSEG, winlen,
                         h0, hL, pstar, tstar, prec)
-    G = nphi // 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5, grid=(niter,),
         in_specs=[
@@ -300,13 +300,13 @@ def _arbd_jit(x2, phiq2, alphq2, ta, tb, qx, offx, vseg, mseg, mend,
                          memory_space=pltpu.VMEM),
             # resident tap tables: constant block index (never
             # refetched); single-buffered to halve their VMEM
-            pl.BlockSpec((G * 128, 512),
+            pl.BlockSpec((128, nphi * 128),
                          lambda i, q, o, v, m, e: (0, 0),
                          memory_space=pltpu.VMEM,
                          **({} if interpret else
                             {"pipeline_mode": pl.Buffered(
                                 buffer_count=1)})),
-            pl.BlockSpec((G * 128, 512),
+            pl.BlockSpec((128, nphi * 128),
                          lambda i, q, o, v, m, e: (0, 0),
                          memory_space=pltpu.VMEM,
                          **({} if interpret else
@@ -348,20 +348,18 @@ class _ArbdDev:
         self.mend = jax.device_put(plan["mend"])
 
 
-def arbd_resample_pallas(xcat, dev, tabs, nphi, winlen, out_len,
+def arbd_resample_pallas(hist, x, dev, tabs, nphi, winlen, out_len,
                          h0, hL, pstar, tstar, interpret=False):
-    """xcat: 1-D f32 (history + chunk) on device; dev: _ArbdDev;
+    """hist: 1-D history (may be length 0) and x: 1-D chunk, on
+    device, any float dtype (cast to f32 in-jit); dev: _ArbdDev;
     tabs: (ta, tb) device tables. Returns (out_len,) f32 identical to
     the XLA all-phase/drift paths (1e-12-exactness-tested)."""
     plan = dev.plan
-    n = xcat.shape[0]
-    need = plan["Rx_rows"] * 128
-    xp = jnp.pad(xcat, (0, need - n)) if need > n else xcat
-    x2 = xp.reshape(plan["Rx_rows"], 128)
     return _arbd_jit(
-        x2, dev.phiq2, dev.alphq2, tabs[0], tabs[1],
+        hist, x, dev.phiq2, dev.alphq2, tabs[0], tabs[1],
         dev.qx, dev.offx, dev.vseg, dev.mseg, dev.mend,
         niter=plan["niter"], XP=plan["XP"], XSL=plan["XSL"],
-        XB=plan["XB"], nphi=nphi, winlen=winlen,
+        XB=plan["XB"], rx_rows=plan["Rx_rows"], nphi=nphi,
+        winlen=winlen,
         h0=float(h0), hL=float(hL), pstar=int(pstar), tstar=int(tstar),
         out_len=int(out_len), interpret=interpret)
