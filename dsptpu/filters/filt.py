@@ -246,7 +246,8 @@ def _blockss_apply(ss, x, z0, need_state=True, transposed=False,
         C, n = x.shape
     else:
         n, C = x.shape
-    if not need_state and _pallas_iir_ok(ss, n, dtype):
+    if (not (need_state and (reverse or n < ss.V))
+            and _pallas_iir_ok(ss, n, dtype)):
         from ..kernels.biir import blockss_filt_pallas
         import jax as _jax
         interp = False
@@ -254,9 +255,10 @@ def _blockss_apply(ss, x, z0, need_state=True, transposed=False,
             interp = _jax.devices()[0].platform in ("cpu",)
         except Exception:
             interp = True
-        y = blockss_filt_pallas(ss, x, z0, interpret=interp,
-                                transposed=transposed, reverse=reverse)
-        return y, None
+        res = blockss_filt_pallas(ss, x, z0, interpret=interp,
+                                  transposed=transposed, reverse=reverse,
+                                  need_state=need_state)
+        return res if need_state else (res, None)
     V, p = ss.V, ss.p
     B = -(-n // V)
     npad = B * V - n

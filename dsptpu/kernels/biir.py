@@ -58,7 +58,8 @@ def _pad128(m):
 
 
 def _kernel(x_ref, z0_ref, ft_ref, kt_ref, gt_ref, a1t_ref, apow_ref,
-            o_ref, carry, *, TB, nsteps, prec, reverse, edge_row=None):
+            o_ref, o2_ref, carry, *, TB, nsteps, prec, reverse,
+            edge_row=None, state_chunk=None, state_row=None):
     """Grid (C, nchunks). x_ref block: (1, TB, 128) rows; z0_ref block
     (1, 1, 128) — 3-D so the per-channel block keeps its trailing dims
     equal to the full array dims (Mosaic blockspec rule for C > 1);
@@ -118,6 +119,13 @@ def _kernel(x_ref, z0_ref, ft_ref, kt_ref, gt_ref, a1t_ref, apow_ref,
             + jnp.where(rows == edge, jnp.broadcast_to(zc, (TB, _V)), 0.0)
     Y = dot(X, ft_ref[:]) + dot(Zstart, gt_ref[:])
     o_ref[0] = Y
+    if state_chunk is not None:
+        # streaming state output: the state AFTER the last complete
+        # 128-sample row of the true signal (host advances it through
+        # any sub-row tail; forward direction only)
+        @pl.when(b == state_chunk)
+        def _():
+            o2_ref[0] = Z[state_row: state_row + 1, :]
     if reverse:
         carry[0:1, :] = Z[0:1, :]
     else:
@@ -126,9 +134,11 @@ def _kernel(x_ref, z0_ref, ft_ref, kt_ref, gt_ref, a1t_ref, apow_ref,
 
 @functools.partial(jax.jit, static_argnames=("TB", "precision",
                                              "interpret", "reverse",
-                                             "nchunks", "edge_row"))
+                                             "nchunks", "edge_row",
+                                             "state_chunk", "state_row"))
 def _biir_jit(xrows, z0, ft, kt, gt, a1t, apow, TB, precision, interpret,
-              reverse=False, nchunks=None, edge_row=None):
+              reverse=False, nchunks=None, edge_row=None,
+              state_chunk=None, state_row=None):
     C, Bp, _ = xrows.shape
     if nchunks is None:
         nchunks = Bp // TB
@@ -141,11 +151,13 @@ def _biir_jit(xrows, z0, ft, kt, gt, a1t, apow, TB, precision, interpret,
         chunk_map = lambda c, b: (c, nchunks - 1 - b, 0)
     else:
         chunk_map = lambda c, b: (c, b, 0)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, TB=TB, nsteps=nsteps, prec=prec,
-                          reverse=reverse, edge_row=edge_row),
-        out_shape=jax.ShapeDtypeStruct((C, nchunks * TB, _V),
-                                       jnp.float32),
+                          reverse=reverse, edge_row=edge_row,
+                          state_chunk=state_chunk, state_row=state_row),
+        out_shape=(jax.ShapeDtypeStruct((C, nchunks * TB, _V),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((C, 1, _V), jnp.float32)),
         grid=(C, nchunks),
         in_specs=[
             pl.BlockSpec((1, TB, _V), chunk_map,
@@ -163,11 +175,14 @@ def _biir_jit(xrows, z0, ft, kt, gt, a1t, apow, TB, precision, interpret,
             pl.BlockSpec((apow.shape[0], _V, _V), lambda c, b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TB, _V), chunk_map,
-                               memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec((1, TB, _V), chunk_map,
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, _V), lambda c, b: (c, 0, 0),
+                                memory_space=pltpu.VMEM)),
         scratch_shapes=[pltpu.VMEM((8, _V), jnp.float32)],
         interpret=interpret,
     )(xrows, z0, ft, kt, gt, a1t, apow)
+    return out
 
 
 _tab_cache = {}
@@ -221,14 +236,20 @@ def _dev_tables(ss, TB, reverse=False):
 
 def blockss_filt_pallas(ss, x, z0, TB=256, precision="highest",
                         interpret=False, transposed=False,
-                        reverse=False, n_eff=None, full_output=False):
+                        reverse=False, n_eff=None, full_output=False,
+                        need_state=False):
     """Apply the block state-space system `ss` (filters.filt._BlockSS,
     V=128) over x (n, C) f32 — or (C, n) lane-major with
     transposed=True, returning (C, n) — with initial state z0 (p, C).
-    The final state is not produced (use the XLA path for streaming
-    continuation). reverse=True runs the anti-causal pass
-    rev(apply(rev(x))) with z0 entering from the right — no data flip
-    is materialized (see filters.filt._blockss_apply).
+    With need_state=True (forward only, the streaming DF2TFilter /
+    sosfilt-si contract, reference Filters/stream_filt.jl:137-210),
+    returns (y, z_final (p, C)): the kernel emits the state after the
+    last complete 128-sample row through a second tiny output and the
+    host advances it through the sub-row tail in closed form
+    (z = A^m z_row + sum A^{m-1-j} c x_tail[j]). reverse=True runs the
+    anti-causal pass rev(apply(rev(x))) with z0 entering from the
+    right — no data flip is materialized (see
+    filters.filt._blockss_apply).
 
     n_eff (reverse only, multiple of 128): process only the first
     n_eff samples, injecting z0 at sample n_eff-1 — rows past n_eff
@@ -245,6 +266,9 @@ def blockss_filt_pallas(ss, x, z0, TB=256, precision="highest",
         n, C = x.shape
         xT = x.T                                           # (C, n)
     p = ss.p
+    if need_state and (reverse or n_eff is not None or n < _V):
+        raise ValueError("need_state: forward whole-array passes with "
+                         "n >= 128 only")
     edge_row = None
     if n_eff is not None:
         assert reverse and n_eff % _V == 0 and n_eff <= n
@@ -269,12 +293,19 @@ def blockss_filt_pallas(ss, x, z0, TB=256, precision="highest",
             xT = jnp.pad(xT, ((0, 0),
                               (npad, 0) if reverse else (0, npad)))
         xrows = xT.reshape(C, Bp, _V)
+    state_chunk = state_row = None
+    if need_state:
+        bfull = n // _V                   # complete true rows
+        state_chunk = (bfull - 1) // TB
+        state_row = (bfull - 1) % TB
     z0p = jnp.zeros((C, _V), jnp.float32).at[:, :p].set(
         jnp.asarray(z0).T).reshape(C, 1, _V)
     ft, kt, gt, a1t, apow = (jnp.asarray(t)
                              for t in _dev_tables(ss, TB, reverse))
-    y = _biir_jit(xrows, z0p, ft, kt, gt, a1t, apow, TB, precision,
-                  interpret, reverse, nchunks=nchunks, edge_row=edge_row)
+    y, z2 = _biir_jit(xrows, z0p, ft, kt, gt, a1t, apow, TB, precision,
+                      interpret, reverse, nchunks=nchunks,
+                      edge_row=edge_row, state_chunk=state_chunk,
+                      state_row=state_row)
     y = y.reshape(C, nchunks * TB * _V)
     if full_output:
         return y
@@ -282,4 +313,19 @@ def blockss_filt_pallas(ss, x, z0, TB=256, precision="highest",
         y = y[:, :n_eff]
     else:
         y = y[:, nchunks * TB * _V - n:] if reverse else y[:, :n]
+    if need_state:
+        zf = z2[:, 0, :p].T                              # (p, C)
+        m = n % _V
+        if m:
+            # host closed-form advance through the sub-row tail
+            Kp = (ss.powers[m - 1::-1] @ ss.c).T         # (p, m)
+            xtail = xT[:, n - m: n]                      # (C, m)
+            prec2 = jax.lax.Precision.HIGHEST
+            zf = (jnp.einsum("ab,bc->ac", jnp.asarray(
+                ss.powers[m]).astype(jnp.float32), zf,
+                precision=prec2)
+                + jnp.dot(xtail, jnp.asarray(Kp.T).astype(jnp.float32),
+                          preferred_element_type=jnp.float32,
+                          precision=prec2).T)
+        return (y, zf) if transposed else (y.T, zf)
     return y if transposed else y.T

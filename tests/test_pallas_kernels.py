@@ -156,6 +156,65 @@ class TestBiirKernel:
             np.testing.assert_allclose(np.asarray(got_pal), want,
                                        rtol=1e-4, atol=1e-5)
 
+    def test_streaming_state_through_kernel(self, monkeypatch):
+        """Chunked sosfilt(si=...) == one-shot THROUGH the pallas
+        kernel path (VERDICT item 5: the streaming contract must not
+        be the slow path). Spy-gated so a silently-skipped kernel
+        fails the test; covers V-aligned and ragged chunk lengths +
+        channels."""
+        import importlib
+        fmod = importlib.import_module("dsptpu.filters.filt")
+        calls = []
+        orig = fmod._pallas_iir_ok
+        monkeypatch.setattr(fmod, "_PALLAS_IIR", True)
+        monkeypatch.setattr(
+            fmod, "_pallas_iir_ok",
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1] or True)
+        from dsptpu import sosfilt
+        sos_sp = sp.butter(6, 0.3, output="sos")
+        ours = np.column_stack([sos_sp[:, :3], sos_sp[:, 4:]])
+        for n, C, splits in [(6000, 1, [1024, 3093]),
+                             (4096, 3, [2048]),
+                             (5000, 2, [1111, 2222, 4997])]:
+            shape = (n,) if C == 1 else (n, C)
+            x = rng.standard_normal(shape).astype(np.float32)
+            whole = np.asarray(sosfilt(ours, x))
+            si = np.zeros((2, len(sos_sp)) + shape[1:], np.float32)
+            parts = []
+            calls.clear()
+            for chunk in np.split(x, splits):
+                y, si = sosfilt(ours, chunk, si=si)
+                parts.append(np.asarray(y))
+            assert calls, "pallas streaming path was not exercised"
+            np.testing.assert_allclose(np.concatenate(parts), whole,
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_kernel_state_matches_xla_state(self):
+        """need_state=True kernel state == the XLA partial-block state
+        for ragged n (exercises the in-kernel state tap + the host
+        sub-row tail advance)."""
+        from dsptpu.filters.filt import (_blockss, _stack_cascade,
+                                         _blockss_apply)
+        from dsptpu.kernels.biir import blockss_filt_pallas
+        sos = sp.butter(8, 0.4, output="sos")
+        sos5 = np.column_stack([sos[:, :3], sos[:, 4:]])
+        ss = _blockss(*_stack_cascade(sos5, 1.0))
+        for n, C in [(2048, 1), (30011, 2), (513, 3)]:
+            x = rng.standard_normal((n, C)).astype(np.float32)
+            z0 = jnp.asarray(
+                rng.standard_normal((ss.p, C)).astype(np.float32))
+            y_ref, zf_ref = _blockss_apply(ss, jnp.asarray(x), z0,
+                                           need_state=True)
+            y_pal, zf_pal = blockss_filt_pallas(
+                ss, jnp.asarray(x), z0, TB=4, interpret=True,
+                need_state=True)
+            np.testing.assert_allclose(np.asarray(y_pal),
+                                       np.asarray(y_ref),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(zf_pal),
+                                       np.asarray(zf_ref),
+                                       rtol=1e-3, atol=1e-4)
+
     def test_reverse_state_non_aligned(self):
         """reverse=True need_state=True for n % V != 0: the returned
         state equals the forward state of the flipped signal (the
