@@ -249,6 +249,22 @@ def main():
         _log(f"{name}: {sps/1e6:.1f} MS/s  (vs scipy x{ratios[name]:.1f}"
              f"{roof})")
 
+    # host-dispatch floor over the tunnel: a trivial jit in the same
+    # chained-timing harness. Sub-0.3ms configs sit near this floor —
+    # their end-to-end GS/s measures the tunnel's per-call cost as much
+    # as the device (round-5 item-3 reconciliation: fir kernel-only
+    # 74-76 GS/s device-side vs 36-60 GS/s config across sessions).
+    try:
+        _triv = jax.jit(lambda a2: a2 * 1.000001)
+        _xt = jnp.ones(128, dtype)
+        _triv(_xt).block_until_ready()
+        extra["dispatch_floor_ms"] = round(
+            _timeit(_triv, _xt, k=256) * 1e3, 4)
+        _log(f"dispatch floor (trivial jit): "
+             f"{extra['dispatch_floor_ms']} ms/call")
+    except Exception:
+        pass
+
     # -- config 1: 127-tap FIR, 10M samples, single channel -----------------
     try:
         n = 10_000_000 // scale
@@ -347,6 +363,44 @@ def main():
         record("welch_spectrogram_1024_64ch", 2 * n3 * nch3, t_w + t_s,
                t_cpu_w + t_cpu_s, min_bytes=2 * 4 * n3 * nch3,
                flops=kflops_w + kflops_s, flops_min=2 * kflops_min)
+        # honest parts decomposition (round-5 VERDICT item 2: publish
+        # kernel-only attainment): regroup prep, welch kernel, raw
+        # spectrogram kernel, and the XLA bin-reorder epilogue, each
+        # timed separately on TPU; welch kernel-only TF/s = issued
+        # stage-2 work over (t_kernel - t_regroup)
+        if on_tpu:
+            try:
+                from dsptpu.kernels.stft import stft_pow_pallas
+                from dsptpu.kernels.transpose import regroup_planes_pallas
+                wext3 = np.zeros(1024); wext3[:] = win
+                kern_j = jax.jit(lambda s: stft_pow_pallas(
+                    s, wext3, 1024, 512, nfr, accumulate=True,
+                    onesided=True))
+                raw_j = jax.jit(lambda s: stft_pow_pallas(
+                    s, wext3, 1024, 512, nfr, accumulate=False,
+                    raw=True))
+                TBp = 256
+                nbl = -(-nfr // TBp)
+                nrq3 = nbl * TBp + (-(-(TBp + 2) // 8) * 8)
+                rg_j = jax.jit(lambda s: regroup_planes_pallas(
+                    s, 4, nrq3))
+                t_k = _timeit(kern_j, x3j, k=16)
+                t_rg = _timeit(rg_j, x3j, k=16)
+                t_raw = _timeit(raw_j, x3j, k=8)
+                extra["welch_parts_ms"] = {
+                    "regroup": round(t_rg * 1e3, 3),
+                    "welch_kernel": round((t_k - t_rg) * 1e3, 3),
+                    "spectro_kernel": round((t_raw - t_rg) * 1e3, 3),
+                    "spectro_epilogue": round((t_s - t_raw) * 1e3, 3),
+                }
+                extra["welch_kernel_only_tflops"] = round(
+                    kflops_w / max(t_k - t_rg, 1e-9) / 1e12, 2)
+                _log(f"  welch parts ms {extra['welch_parts_ms']}; "
+                     f"kernel-only "
+                     f"{extra['welch_kernel_only_tflops']} TF/s")
+            except Exception as e:
+                _log(f"  parts decomposition failed: "
+                     f"{type(e).__name__}: {str(e)[:120]}")
         # witnesses: full welch PSD + a 16-frame spectrogram subset,
         # against the exact algorithm definition (welch_pgram docstring
         # semantics: Σ_k |rfft(win*frame)|^2 * wts, wts one-sided
@@ -727,6 +781,39 @@ for name, fn in ops.items():
         jax.block_until_ready(f(xg))
         best_op = min(best_op, time.perf_counter() - t0)
     per_op[name] = best_op
+# --- collective-only microbenches (round-5 VERDICT item 4: separate
+# the cross-process collective cost from host-core contention). The
+# resample/fir ops' only collective is ONE halo ppermute of a
+# (taps-1, nch) block; welch/filtfilt add a psum / log-depth chain of
+# (p, nch)-scale states. Timed bare through shard_map on this mesh.
+try:
+    from jax import shard_map
+except ImportError:          # older jax
+    from jax.experimental.shard_map import shard_map
+from dsptpu.filters.stream_filt import taps2pfb as _t2p
+hl_rs = _t2p(h_rs, 3).shape[0] - 1
+perm = [(i, (i + 1) % nproc) for i in range(nproc)]
+halo_g = make_global(np.zeros((max(hl_rs, 8), nch), np.float32))
+hp = jax.jit(shard_map(
+    lambda a: jax.lax.ppermute(a, "time", perm), mesh=mesh,
+    in_specs=P("time", None), out_specs=P("time", None)))
+acc_g = make_global(np.zeros((513, nch), np.float32))
+pq = jax.jit(shard_map(
+    lambda a: jax.lax.psum(a, "time"), mesh=mesh,
+    in_specs=P("time", None), out_specs=P(None, None)))
+coll = {{}}
+for cname, cf, carg in (("ppermute_halo", hp, halo_g),
+                        ("psum_acc", pq, acc_g)):
+    jax.block_until_ready(cf(carg))
+    tbest = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(20):
+            r = cf(carg)
+        jax.block_until_ready(r)
+        tbest = min(tbest, (time.perf_counter() - t0) / 20)
+    coll[cname] = tbest
 run = jax.jit(pipeline)
 jax.block_until_ready(run(xg))                    # compile
 jax.block_until_ready(run(xg))                    # warm + barrier
@@ -738,9 +825,57 @@ for _ in range(reps):
     best = min(best, time.perf_counter() - t0)
 t_ext = per_op["filtfilt"] + per_op["resample"] + best
 print(json.dumps({{"pid": pid, "t": best, "t_ext": t_ext,
-                  "per_op": per_op, "err_vs_unsharded": err,
+                  "per_op": per_op, "collective_ms":
+                      {{k: v * 1e3 for k, v in coll.items()}},
+                  "err_vs_unsharded": err,
                   "err_filtfilt": err_ff, "err_resample": err_rs,
                   "n_global": n_local * nproc * nch}}), flush=True)
+"""
+
+
+_CONTROL_SRC = r"""
+# contention control: the same LOCAL unsharded ops, run solo vs in N
+# concurrent single-core processes with NO mesh and NO collectives —
+# if N-way concurrency alone reproduces the sharded per-op slowdown,
+# the weak-scaling loss is host memory contention, not communication.
+import json, os, sys, time
+import numpy as np
+pid = int(sys.argv[1]); n_local = int(sys.argv[2])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+sys.path.insert(0, {repo!r})
+import dsptpu
+from scipy import signal as sp
+from fractions import Fraction
+from dsptpu.filters.stream_filt import FIRFilter
+nch = 64
+b = sp.firwin(127, 0.25).astype(np.float32)
+h_rs = np.asarray(dsptpu.resample_filter(Fraction(3, 2))).astype(np.float32)
+sos_sp = sp.butter(8, 0.2, output="sos")
+sos = np.column_stack([sos_sp[:, :3], sos_sp[:, 4:]])
+rng = np.random.default_rng(50 + pid)
+x = jnp.asarray(rng.standard_normal((n_local, nch)).astype(np.float32))
+sf = FIRFilter(h_rs, Fraction(3, 2))
+def _rs(v):
+    sf.reset()
+    return sf.filt(v)
+ops = {{
+    "fir": jax.jit(lambda v: dsptpu.filt(jnp.asarray(b), v)),
+    "sosfilt": jax.jit(lambda v: dsptpu.sosfilt(sos, v)),
+    "resample": _rs,
+}}
+out = {{}}
+for name, f in ops.items():
+    jax.block_until_ready(f(x)); jax.block_until_ready(f(x))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        best = min(best, time.perf_counter() - t0)
+    out[name] = best
+print(json.dumps({{"pid": pid, "per_op": out}}), flush=True)
 """
 
 
@@ -765,6 +900,7 @@ def run_weak_scaling(max_hosts, n=1_000_000):
     results_ext = {}
     times_ext = {}
     per_op = {}
+    coll_ms = {}
     errs = {}
     port = 12723
     ncores = os.cpu_count() or 1
@@ -797,6 +933,8 @@ def run_weak_scaling(max_hosts, n=1_000_000):
             times_ext.setdefault(hosts, []).append(rec["t_ext"])
             for op, tv in rec["per_op"].items():
                 per_op.setdefault(hosts, {}).setdefault(op, []).append(tv)
+            for op, tv in rec.get("collective_ms", {}).items():
+                coll_ms.setdefault(hosts, {}).setdefault(op, []).append(tv)
             errs[hosts] = max(errs.get(hosts, 0.0),
                               rec["err_vs_unsharded"],
                               rec["err_filtfilt"], rec["err_resample"])
@@ -808,6 +946,37 @@ def run_weak_scaling(max_hosts, n=1_000_000):
         _log(f"hosts={hosts}: {results[hosts]/1e6:.1f} MS/s aggregate "
              f"(step {t*1e3:.1f} ms, max sharded-vs-unsharded rel err "
              f"{errs[hosts]:.2e}; per-op ms {ops_ms})")
+    # --- contention control: same local ops, solo vs max_hosts-way
+    # concurrent, no mesh/collectives (VERDICT item 4) ---
+    csrc = _CONTROL_SRC.format(repo=repo)
+    control = {}
+    for conc in (1, max_hosts):
+        procs = []
+        for i in range(conc):
+            env = dict(os.environ)
+            env.pop("XLA_FLAGS", None)
+            pre = (["taskset", "-c", str(i % ncores)]
+                   if have_taskset else [])
+            procs.append(subprocess.Popen(
+                pre + [sys.executable, "-c", csrc, str(i), str(n)],
+                stdout=subprocess.PIPE, env=env))
+        agg = {}
+        for p in procs:
+            out, _ = p.communicate()
+            if p.returncode != 0:
+                raise RuntimeError(f"control worker failed ({conc}-way)")
+            rec = json.loads(out.splitlines()[-1])
+            for op, tv in rec["per_op"].items():
+                agg.setdefault(op, []).append(tv)
+        control[conc] = {op: round(max(v) * 1e3, 2)
+                         for op, v in agg.items()}
+        _log(f"contention control {conc}-way (no collectives): "
+             f"{control[conc]} ms")
+    contention_ratio = {
+        op: round(control[max_hosts][op] / control[1][op], 3)
+        for op in control[1]}
+    _log(f"contention ratio (pure {max_hosts}-way concurrency): "
+         f"{contention_ratio}")
     base = results[1]
     eff = {h: r / (h * base) for h, r in results.items()}
     eff_ext = {h: r / (h * results_ext[1]) for h, r in results_ext.items()}
@@ -829,11 +998,18 @@ def run_weak_scaling(max_hosts, n=1_000_000):
                   "per_op_ms": {str(h): {op: round(max(v) * 1e3, 3)
                                          for op, v in d.items()}
                                 for h, d in per_op.items()},
+                  "collective_ms": {str(h): {op: round(max(v), 4)
+                                             for op, v in d.items()}
+                                    for h, d in coll_ms.items()},
+                  "contention_control_ms": {str(k): v
+                                            for k, v in control.items()},
+                  "contention_ratio": contention_ratio,
+                  "n_local": n,
                   "max_rel_err_vs_unsharded": {str(k): v
                                                for k, v in errs.items()}},
     }
     try:
-        with open(os.path.join(repo, f"WEAK_r04.json"), "w") as f:
+        with open(os.path.join(repo, f"WEAK_r05.json"), "w") as f:
             json.dump(record, f, indent=1)
     except OSError:
         pass
@@ -842,6 +1018,8 @@ def run_weak_scaling(max_hosts, n=1_000_000):
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--hosts":
-        run_weak_scaling(int(sys.argv[2]))
+        run_weak_scaling(int(sys.argv[2]),
+                         n=(int(sys.argv[3]) if len(sys.argv) > 3
+                            else 1_000_000))
     else:
         main()

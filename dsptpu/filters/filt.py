@@ -645,6 +645,21 @@ def filtfilt(f, a=None, x=None):
     a = np.atleast_1d(np.asarray(a))
     if len(a) == 1:
         return _filtfilt_fir(jnp.asarray(b / a[0]), jnp.asarray(x))
+    # route real rational TFs through the SOS cascade: the companion-
+    # form state space of a high-order polynomial TF is catastrophically
+    # conditioned in f32 (butter(8, 0.1): rel err 13-42 through the
+    # fused kernel, 5e-2 even in the plain two-pass — vs 1e-6 as a
+    # cascade; scipy's own f32 TF filtfilt errs 6e-2). The pad stays at
+    # the TF form's 3*(max(len)-1) so edges match reference
+    # filt.jl:261-360 semantics.
+    if (len(b) + len(a) <= 66
+            and not (np.iscomplexobj(b) or np.iscomplexobj(a))):
+        try:
+            sos_f = as_sos(PolynomialRatio(b, a))
+            pad = 3 * (max(len(a), len(b)) - 1)
+            return _filtfilt_sos(sos_f, x, pad=pad)
+        except Exception:
+            pass                      # root-finding failed: TF path
     return _iir_filtfilt(b, a, jnp.asarray(x))
 
 
@@ -690,12 +705,14 @@ def _iir_filtfilt(b, a, x):
     return restore(_from_T(yT))
 
 
-def _filtfilt_sos(f, x):
+def _filtfilt_sos(f, x, pad=None):
     """Lane-major (C, n) composition throughout — see _iir_filtfilt."""
     sos, g = _sos_arrays(f)
     nsec = sos.shape[0]
     x = jnp.asarray(x)
-    pad = min(6 * nsec, x.shape[0] - 1)
+    if pad is None:
+        pad = 6 * nsec
+    pad = min(pad, x.shape[0] - 1)
 
     flat, restore = _flatten_channels(x)
     dtype = jnp.result_type(flat.dtype, jnp.float64)

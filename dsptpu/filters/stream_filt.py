@@ -759,11 +759,14 @@ class FIRFilter:
             self.history = zc[1]
 
     def _pfb2_filt(self, k, x, xlen, out_len):
-        """Zero-copy Pallas path (kernels/pfb2) for fresh zero-history
-        1-D real-f32 rational/integer-rate streams — the resample()
-        hot path. Returns (y, new_history) or None to fall back to the
-        XLA block matmul (streaming history, channels, unsupported
-        geometry)."""
+        """Zero-copy Pallas path (kernels/pfb2) for 1-D real-f32
+        rational/integer-rate streams — fresh (the resample() hot
+        path) or mid-stream (round-5: the history concatenates in-jit
+        and the class-window geometry shifts by history_len, exactly
+        the XLA block matmul's s0). Returns (y, new_history) or None
+        to fall back to the XLA block matmul (channels, unsupported
+        geometry, or phase-churning streams whose per-(phi0, deficit)
+        tap tables would rebuild every chunk)."""
         if x.ndim != 1 or jnp.iscomplexobj(x) \
                 or jnp.dtype(x.dtype) != jnp.dtype(jnp.float32):
             return None
@@ -773,7 +776,22 @@ class FIRFilter:
                  or (getattr(self, "_zero_hist", None) is not None
                      and self.history is self._zero_hist[1]))
         if not fresh:
-            return None
+            # streaming: each distinct (phi0, deficit) entry state
+            # needs its own multi-MB host tap table (same property as
+            # the XLA path's per-phase G cache, but bigger tables).
+            # Allow a handful of distinct states (periodic chunk
+            # streams repeat quickly); churners fall back for good.
+            if jnp.issubdtype(self.history.dtype, jnp.complexfloating):
+                return None
+            seen = getattr(k, "_pfb2_states", None)
+            if seen is None:
+                seen = k._pfb2_states = set()
+            state = (int(k.phi_idx) if hasattr(k, "phi_idx") else 1,
+                     int(k.input_deficit), int(xlen))
+            if state not in seen:
+                if len(seen) >= 4:
+                    return None
+                seen.add(state)
         from ..ops import dspbase
         use_k, interp = dspbase._pallas_os_state()
         if not use_k:
@@ -794,8 +812,10 @@ class FIRFilter:
         # cache the host bank + gate verdict on the kernel instance:
         # np.asarray(k.pfb_t) is a device->host readback and the gate
         # runs per filt() call on the resample hot path
+        deficit_eff = int(k.input_deficit) + (
+            0 if fresh else int(self.history_len))
         cached = getattr(k, "_pfb2_gate", None)
-        if cached is None or cached[0] != phi0:
+        if cached is None or cached[0] != (phi0, deficit_eff):
             pfb_host = np.asarray(k.pfb_t).T      # (taps_per_phi, L)
             ok = pfb2_supported(L, M, pfb_host.shape[0], jnp.float32)
             # Default-on only where the kernel measured FASTER than
@@ -803,21 +823,27 @@ class FIRFilter:
             # few-group grouped plans (147//160). The verdict is
             # analytic — no multi-MB table build.
             fast = ok and pfb2_default_on(
-                pfb_host.shape[0], L, M, int(phi0),
-                int(k.input_deficit))
-            k._pfb2_gate = cached = [phi0, pfb_host, ok, fast]
+                pfb_host.shape[0], L, M, int(phi0), deficit_eff)
+            k._pfb2_gate = cached = [(phi0, deficit_eff), pfb_host, ok,
+                                     fast]
         _, pfb_host, ok, fast = cached
         if not ok or (dspbase._PALLAS_OS is not True and not fast):
             return None
-        hl = self.history_len if (self.history_len
-                                  and xlen >= self.history_len) else 0
+        if fresh:
+            hl = self.history_len if (self.history_len
+                                      and xlen >= self.history_len) else 0
+            hist_arg = None
+        else:
+            hl = self.history_len
+            hist_arg = self.history
         try:
             # the history tail rides in the kernel's jitted program —
             # an eager x[xlen-hl:] slice on a large device signal
             # costs ~0.5 ms of XLA relayout per call
             res = pfb2_resample_pallas(x, pfb_host, L, M, phi0,
-                                       k.input_deficit, out_len,
-                                       interpret=interp, hist_len=hl)
+                                       deficit_eff, out_len,
+                                       interpret=interp, hist_len=hl,
+                                       hist=hist_arg)
         except Exception as e:
             # eager callers degrade to the XLA block matmul if Mosaic
             # rejects a geometry at compile time (jitted callers see

@@ -57,7 +57,7 @@ def _pad128(m):
     return out
 
 
-def _kernel(x_ref, z0_ref, ft_ref, kt_ref, gt_ref, a1t_ref, apow_ref,
+def _kernel(x_ref, z0_ref, fk_ref, gt_ref, a1t_ref, apow_ref,
             o_ref, o2_ref, carry, *, TB, nsteps, prec, reverse,
             edge_row=None, state_chunk=None, state_row=None):
     """Grid (C, nchunks). x_ref block: (1, TB, 128) rows; z0_ref block
@@ -91,7 +91,12 @@ def _kernel(x_ref, z0_ref, ft_ref, kt_ref, gt_ref, a1t_ref, apow_ref,
         carry[0:1, :] = z0_ref[0]
 
     zc = carry[0:1, :]                                 # (1, 128)
-    U = dot(X, kt_ref[:])                              # (TB, 128) states
+    # ONE wide (TB,128)@(128,256) matmul for [Ylocal | U] — the
+    # separate F'/K' products each ran at the MXU's N=128 rate
+    # (round-4 rule: merge shared-LHS small-N matmuls)
+    P = dot(X, fk_ref[:])                              # (TB, 256)
+    Ylocal = P[:, :_V]
+    U = P[:, _V:]                                      # (TB, 128) states
     # fold the entering state into the first-processed row:
     # u_edge += A @ z_carry
     cin = dot(zc, a1t_ref[:])                          # (1, 128)
@@ -117,7 +122,7 @@ def _kernel(x_ref, z0_ref, ft_ref, kt_ref, gt_ref, a1t_ref, apow_ref,
         zs = pltpu.roll(Z, 1, 0)
         Zstart = jnp.where(rows >= 1, zs, 0.0) \
             + jnp.where(rows == edge, jnp.broadcast_to(zc, (TB, _V)), 0.0)
-    Y = dot(X, ft_ref[:]) + dot(Zstart, gt_ref[:])
+    Y = Ylocal + dot(Zstart, gt_ref[:])
     o_ref[0] = Y
     if state_chunk is not None:
         # streaming state output: the state AFTER the last complete
@@ -136,7 +141,7 @@ def _kernel(x_ref, z0_ref, ft_ref, kt_ref, gt_ref, a1t_ref, apow_ref,
                                              "interpret", "reverse",
                                              "nchunks", "edge_row",
                                              "state_chunk", "state_row"))
-def _biir_jit(xrows, z0, ft, kt, gt, a1t, apow, TB, precision, interpret,
+def _biir_jit(xrows, z0, fk, gt, a1t, apow, TB, precision, interpret,
               reverse=False, nchunks=None, edge_row=None,
               state_chunk=None, state_row=None):
     C, Bp, _ = xrows.shape
@@ -164,9 +169,7 @@ def _biir_jit(xrows, z0, ft, kt, gt, a1t, apow, TB, precision, interpret,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _V), lambda c, b: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_V, _V), lambda c, b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_V, _V), lambda c, b: (0, 0),
+            pl.BlockSpec((_V, 2 * _V), lambda c, b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_V, _V), lambda c, b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -181,7 +184,7 @@ def _biir_jit(xrows, z0, ft, kt, gt, a1t, apow, TB, precision, interpret,
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=[pltpu.VMEM((8, _V), jnp.float32)],
         interpret=interpret,
-    )(xrows, z0, ft, kt, gt, a1t, apow)
+    )(xrows, z0, fk, gt, a1t, apow)
     return out
 
 
@@ -227,7 +230,9 @@ def _dev_tables(ss, TB, reverse=False):
                 break             # prefix over rows beyond 2^s
         apow = np.stack([_pad128(m.T)
                          for m in apow_full[:keep]]).astype(np.float32)
-        hit = (ft, kt, gt, a1t, apow)
+        # merged [F' | K'] RHS: one wide N=256 matmul per chunk
+        fk = np.concatenate([ft, kt], axis=1)
+        hit = (fk, gt, a1t, apow)
         if len(_tab_cache) > 128:
             _tab_cache.clear()
         _tab_cache[key] = hit
@@ -300,9 +305,9 @@ def blockss_filt_pallas(ss, x, z0, TB=256, precision="highest",
         state_row = (bfull - 1) % TB
     z0p = jnp.zeros((C, _V), jnp.float32).at[:, :p].set(
         jnp.asarray(z0).T).reshape(C, 1, _V)
-    ft, kt, gt, a1t, apow = (jnp.asarray(t)
-                             for t in _dev_tables(ss, TB, reverse))
-    y, z2 = _biir_jit(xrows, z0p, ft, kt, gt, a1t, apow, TB, precision,
+    fk, gt, a1t, apow = (jnp.asarray(t)
+                         for t in _dev_tables(ss, TB, reverse))
+    y, z2 = _biir_jit(xrows, z0p, fk, gt, a1t, apow, TB, precision,
                       interpret, reverse, nchunks=nchunks,
                       edge_row=edge_row, state_chunk=state_chunk,
                       state_row=state_row)

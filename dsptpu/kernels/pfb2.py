@@ -373,11 +373,24 @@ _PRECS = {"highest": jax.lax.Precision.HIGHEST,
           "default": jax.lax.Precision.DEFAULT}
 
 
+def _prep_x2(hist, x):
+    """In-jit front-end: concat streaming history + pad + reshape to
+    (R, 128) rows (the eager form cost ~0.7 ms/2.5M over the tunnel —
+    same lesson as kernels/arbd)."""
+    xc = jnp.concatenate([hist, x]) if hist.shape[0] else x
+    n0 = xc.shape[0]
+    R = -(-n0 // 128)
+    if R * 128 != n0:
+        xc = jnp.pad(xc, (0, R * 128 - n0))
+    return xc.reshape(R, 128), n0
+
+
 @functools.partial(jax.jit, static_argnames=(
     "S", "P_in", "O_r", "D_c", "off", "r_lo_t", "nst",
-    "precision", "interpret", "n", "hist_len", "out_len"))
-def _pfb2_jit(x2, tab, S, P_in, O_r, D_c, off, r_lo_t, nst,
-              precision, interpret, n=None, hist_len=0, out_len=None):
+    "precision", "interpret", "hist_len", "out_len"))
+def _pfb2_jit(hist, x, tab, S, P_in, O_r, D_c, off, r_lo_t, nst,
+              precision, interpret, hist_len=0, out_len=None):
+    x2, n = _prep_x2(hist, x)
     prec = _PRECS[precision]
     R = x2.shape[0]
     R8 = max(R // 8, 1)
@@ -413,11 +426,12 @@ def _pfb2_jit(x2, tab, S, P_in, O_r, D_c, off, r_lo_t, nst,
 
 @functools.partial(jax.jit, static_argnames=(
     "S", "P_in", "O_r", "Cg", "G", "grp_stride", "D_c", "off_rel",
-    "r_lo_t", "nst", "precision", "interpret", "n", "hist_len",
+    "r_lo_t", "nst", "precision", "interpret", "hist_len",
     "out_len"))
-def _pfb2_jit_grouped(x2, tabg, S, P_in, O_r, Cg, G, grp_stride, D_c,
-                      off_rel, r_lo_t, nst, precision, interpret,
-                      n=None, hist_len=0, out_len=None):
+def _pfb2_jit_grouped(hist, x, tabg, S, P_in, O_r, Cg, G, grp_stride,
+                      D_c, off_rel, r_lo_t, nst, precision, interpret,
+                      hist_len=0, out_len=None):
+    x2, n = _prep_x2(hist, x)
     prec = _PRECS[precision]
     R = x2.shape[0]
     R8 = max(R // 8, 1)
@@ -463,12 +477,19 @@ def _pfb2_jit_grouped(x2, tabg, S, P_in, O_r, Cg, G, grp_stride, D_c,
 
 def pfb2_resample_pallas(x, pfb, L, M, phi0, deficit, out_len,
                          S=None, precision="highest", interpret=False,
-                         hist_len=0):
-    """Rational polyphase resample of 1-D real f32 `x` (zero history).
-    pfb: (taps_per_phi, L) bank (taps2pfb layout). Returns (out_len,)
-    f32 matching stream_filt's FIRFilter.filt output exactly; with
-    hist_len > 0 returns (y, x[n-hist_len:]) with the history tail
-    computed inside the same jitted program (no extra dispatch)."""
+                         hist_len=0, hist=None):
+    """Rational polyphase resample of 1-D real f32 `x`. pfb:
+    (taps_per_phi, L) bank (taps2pfb layout). Returns (out_len,) f32
+    matching stream_filt's FIRFilter.filt output exactly; with
+    hist_len > 0 returns (y, xcat[n-hist_len:]) with the history tail
+    computed inside the same jitted program (no extra dispatch).
+
+    Streaming history: pass the carried samples in `hist` (1-D; they
+    are concatenated in-jit) and the SHIFTED deficit
+    `deficit + len(hist)` — the class-window geometry measures starts
+    from the concatenated signal's origin, exactly like the XLA block
+    matmul's s0 (stream_filt._block_args); reference chunked-state
+    semantics stream_filt.jl:443-467."""
     plan = pfb2_plan(pfb, L, M, int(phi0), int(deficit))
     grouped = plan.G > 1
     if S is None:
@@ -487,21 +508,16 @@ def pfb2_resample_pallas(x, pfb, L, M, phi0, deficit, out_len,
             # S=80+ exceeds the 16 MB VMEM budget
             S = 64
     x = jnp.asarray(x, jnp.float32)
-    n = x.shape[0]
-    R = -(-n // 128)
-    if R * 128 != n:
-        x = jnp.pad(x, (0, R * 128 - n))
-    x2 = x.reshape(R, 128)
+    if hist is None:
+        hist = jnp.zeros((0,), jnp.float32)
+    else:
+        hist = jnp.asarray(hist, jnp.float32)
     O_r, P_in = plan.O_r, plan.P_in
     out_rows = -(-out_len // 128)
     nsuper = -(-out_rows // O_r)
     S = max(2, min(S, nsuper))
     nst = -(-nsuper // S)
     r_lo_t = tuple(int(v) for v in plan.r_lo)
-    # n is only consumed by the history-tail slice: keying the jit
-    # cache on it for hist_len==0 would retrace per distinct un-padded
-    # length for no reason
-    n_key = n if hist_len else None
     if grouped:
         # upload the (multi-MB) tap table once per plan, not per call —
         # a fresh host->device transfer of the table can cost more than
@@ -509,13 +525,13 @@ def pfb2_resample_pallas(x, pfb, L, M, phi0, deficit, out_len,
         if plan.tabg_dev is None:
             plan.tabg_dev = jax.device_put(plan.tabg)
         return _pfb2_jit_grouped(
-            x2, plan.tabg_dev, S, P_in, O_r, plan.Cg, plan.G,
+            hist, x, plan.tabg_dev, S, P_in, O_r, plan.Cg, plan.G,
             plan.grp_stride, plan.D_c, plan.off_rel, r_lo_t, nst,
-            precision, interpret, n=n_key, hist_len=int(hist_len),
+            precision, interpret, hist_len=int(hist_len),
             out_len=int(out_len))
     if plan.tab_dev is None:
         plan.tab_dev = jax.device_put(plan.tab)
-    return _pfb2_jit(x2, plan.tab_dev, S, P_in, O_r, plan.D_c,
+    return _pfb2_jit(hist, x, plan.tab_dev, S, P_in, O_r, plan.D_c,
                      plan.off[:-1], r_lo_t, nst, precision, interpret,
-                     n=n_key, hist_len=int(hist_len),
+                     hist_len=int(hist_len),
                      out_len=int(out_len))
