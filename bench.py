@@ -273,7 +273,7 @@ def main():
              + 0.1 * rng.standard_normal(n)).astype(dtype)
         xj, hj = jnp.asarray(x), jnp.asarray(h)
         fir = jax.jit(lambda b, s: dsptpu.filt(b, s))
-        t_dev = _timeit(fir, hj, xj, k=256)  # sub-0.2ms/call: long chain
+        t_dev = _timeit(fir, hj, xj, k=256, reps=9)  # sub-0.2ms/call: long chain
         t_cpu = _cpu_time(lambda: sp.lfilter(h, [1.0], x[: n // 8])) * 8
         record("fir_127tap", n, t_dev, t_cpu, min_bytes=2 * 4 * n,
                flops=2.0 * n * 256,  # row-shift kernel: M+1=2 lane-mixing
@@ -458,7 +458,7 @@ def main():
             sf.reset()
             return sf.filt(xc)
 
-        t_dev = _timeit(poly_dev, x4j, k=64)
+        t_dev = _timeit(poly_dev, x4j, k=64, reps=9)
         t_cpu = _cpu_time(lambda: sp.resample_poly(x4[: n4 // 8], 147, 160)) * 8
         # kernel-utilization FLOPs model matches whichever path runs: the
         # pfb2 Pallas kernel does D (S,128)@(128,128) lane-mixing matmuls
@@ -511,7 +511,7 @@ def main():
             sfb.reset()
             return sfb.filt(xc)
 
-        t_dev_b = _timeit(poly_dev_b, x4j, k=64)
+        t_dev_b = _timeit(poly_dev_b, x4j, k=64, reps=9)
         extra["resample_3_2_msps"] = round(n4 / t_dev_b / 1e6, 1)
         _log(f"  resample 3//2: {n4/t_dev_b/1e6:.1f} MS/s")
         # arbitrary-rate (FIRArbitrary dual-PFB, reference
@@ -568,14 +568,14 @@ def main():
         sos_sp[0, :3] *= f5.g
         x5j = jnp.asarray(x5)
         ff = jax.jit(lambda s: dsptpu.filtfilt(f5, s))
-        t_ff = _timeit(ff, x5j, k=64)
+        t_ff = _timeit(ff, x5j, k=64, reps=9)
         # speech-frame LPC: 25 ms frames at 16 kHz (400 samples), order 16
         flen = 400
         nfr5 = n5 // flen
         frames5 = x5[: nfr5 * flen].reshape(nfr5, flen).T.copy()  # (flen, nfr)
         frames5j = jnp.asarray(frames5)
         lpc_j = jax.jit(lambda fr: dsptpu.lpc(fr, 16, method="levinson"))
-        t_lpc = _timeit(lpc_j, frames5j, k=64)
+        t_lpc = _timeit(lpc_j, frames5j, k=64, reps=9)
         t_cpu_ff = _cpu_time(lambda: sp.sosfiltfilt(sos_sp, x5[: n5 // 8])) * 8
 
         def cpu_lpc():

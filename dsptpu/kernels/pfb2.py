@@ -373,10 +373,15 @@ _PRECS = {"highest": jax.lax.Precision.HIGHEST,
           "default": jax.lax.Precision.DEFAULT}
 
 
-def _prep_x2(hist, x):
-    """In-jit front-end: concat streaming history + pad + reshape to
-    (R, 128) rows (the eager form cost ~0.7 ms/2.5M over the tunnel —
-    same lesson as kernels/arbd)."""
+def _prep_x2(hist, x, n_static):
+    """Input front-end. FRESH streams arrive pre-shaped 2-D (the
+    eager (n,)->(R,128) reshape is the zero-copy layout the kernel
+    consumes; doing it IN-jit lets XLA interpose a relayout copy
+    before the custom call — device-measured 3x slower at 147//160,
+    0.61 -> 1.5-2.0 ms). STREAMING chunks arrive 1-D with a history
+    to concat in-jit (one fused copy beats three eager dispatches)."""
+    if x.ndim == 2:
+        return x, n_static
     xc = jnp.concatenate([hist, x]) if hist.shape[0] else x
     n0 = xc.shape[0]
     R = -(-n0 // 128)
@@ -387,10 +392,10 @@ def _prep_x2(hist, x):
 
 @functools.partial(jax.jit, static_argnames=(
     "S", "P_in", "O_r", "D_c", "off", "r_lo_t", "nst",
-    "precision", "interpret", "hist_len", "out_len"))
+    "precision", "interpret", "n", "hist_len", "out_len"))
 def _pfb2_jit(hist, x, tab, S, P_in, O_r, D_c, off, r_lo_t, nst,
-              precision, interpret, hist_len=0, out_len=None):
-    x2, n = _prep_x2(hist, x)
+              precision, interpret, n=None, hist_len=0, out_len=None):
+    x2, n = _prep_x2(hist, x, n)
     prec = _PRECS[precision]
     R = x2.shape[0]
     R8 = max(R // 8, 1)
@@ -426,12 +431,12 @@ def _pfb2_jit(hist, x, tab, S, P_in, O_r, D_c, off, r_lo_t, nst,
 
 @functools.partial(jax.jit, static_argnames=(
     "S", "P_in", "O_r", "Cg", "G", "grp_stride", "D_c", "off_rel",
-    "r_lo_t", "nst", "precision", "interpret", "hist_len",
+    "r_lo_t", "nst", "precision", "interpret", "n", "hist_len",
     "out_len"))
 def _pfb2_jit_grouped(hist, x, tabg, S, P_in, O_r, Cg, G, grp_stride,
                       D_c, off_rel, r_lo_t, nst, precision, interpret,
-                      hist_len=0, out_len=None):
-    x2, n = _prep_x2(hist, x)
+                      n=None, hist_len=0, out_len=None):
+    x2, n = _prep_x2(hist, x, n)
     prec = _PRECS[precision]
     R = x2.shape[0]
     R8 = max(R // 8, 1)
@@ -509,9 +514,18 @@ def pfb2_resample_pallas(x, pfb, L, M, phi0, deficit, out_len,
             S = 64
     x = jnp.asarray(x, jnp.float32)
     if hist is None:
+        # fresh stream: eager zero-copy (R,128) reshape OUTSIDE the
+        # jit (see _prep_x2 — the in-jit form relayouts 3x slower)
         hist = jnp.zeros((0,), jnp.float32)
+        n = x.shape[0]
+        R = -(-n // 128)
+        if R * 128 != n:
+            x = jnp.pad(x, (0, R * 128 - n))
+        x = x.reshape(R, 128)
+        n_key = n if hist_len else None
     else:
         hist = jnp.asarray(hist, jnp.float32)
+        n_key = None
     O_r, P_in = plan.O_r, plan.P_in
     out_rows = -(-out_len // 128)
     nsuper = -(-out_rows // O_r)
@@ -527,11 +541,11 @@ def pfb2_resample_pallas(x, pfb, L, M, phi0, deficit, out_len,
         return _pfb2_jit_grouped(
             hist, x, plan.tabg_dev, S, P_in, O_r, plan.Cg, plan.G,
             plan.grp_stride, plan.D_c, plan.off_rel, r_lo_t, nst,
-            precision, interpret, hist_len=int(hist_len),
+            precision, interpret, n=n_key, hist_len=int(hist_len),
             out_len=int(out_len))
     if plan.tab_dev is None:
         plan.tab_dev = jax.device_put(plan.tab)
     return _pfb2_jit(hist, x, plan.tab_dev, S, P_in, O_r, plan.D_c,
                      plan.off[:-1], r_lo_t, nst, precision, interpret,
-                     hist_len=int(hist_len),
+                     n=n_key, hist_len=int(hist_len),
                      out_len=int(out_len))
