@@ -586,23 +586,43 @@ class FIRArbitrary(_KernelBase):
         self.delta = nphi / rate
         self.phi_accumulator = 0.0
         self.input_deficit = 1
+        self._anchor()
+
+    def _anchor(self):
+        """Re-anchor the stream's closed form at the CURRENT state.
+        Chunked streaming stays bit-identical to one-shot because
+        every output's accumulator is evaluated with the SAME f64
+        expression acc_base + J*delta at its stream-global index J —
+        the round-4 form re-based the accumulator each chunk
+        (mod + re-add), and the rounding difference flipped phase-wrap
+        boundaries: 3 outputs per 200k at rate 0.9997 got the
+        equivalent-but-different (x+1, phi=0) vs (x, phi=nphi-1,
+        alpha~1) representation and chunked output counts drifted
+        ±1 vs one-shot (the reference's sequential accumulation,
+        stream_filt.jl:567-577, is chunk-invariant by construction)."""
+        self._acc_base = float(self.phi_accumulator)
+        self._deficit_base = int(self.input_deficit)
+        self._j_total = 0
+        self._consumed_total = 0
 
     def reset(self):
         self.phi_accumulator = 0.0
         self.input_deficit = 1
+        self._anchor()
 
     def plan(self, xlen):
         if xlen < self.input_deficit:
             return None, None, 0
         # closed form of the reference's accumulator recurrence
-        # (stream_filt.jl:567-577): acc_j = acc0 + j*delta
+        # (stream_filt.jl:567-577): acc_J = acc_base + J*delta at the
+        # stream-global output index J (see _anchor)
         est = int(math.ceil((xlen - self.input_deficit + 1) * self.rate
                             - self.phi_accumulator / self.delta)) + 2
         est = max(est, 1)
         while True:
-            j = np.arange(est)
-            acc = self.phi_accumulator + j * self.delta
-            x_idx = (self.input_deficit
+            j = self._j_total + np.arange(est)
+            acc = self._acc_base + j * self.delta
+            x_idx = (self._deficit_base - self._consumed_total
                      + np.floor(acc / self.nphi).astype(np.int64))
             valid = x_idx <= xlen
             if not valid.all():
@@ -618,12 +638,11 @@ class FIRArbitrary(_KernelBase):
         return (x_idx[:out_len], phi_idx, out_len), alpha, out_len
 
     def commit(self, xlen, out_len):
-        if out_len == 0:
-            self.input_deficit -= xlen
-            return
-        acc_next = self.phi_accumulator + out_len * self.delta
-        x_next = self.input_deficit + int(math.floor(acc_next / self.nphi))
-        self.input_deficit = x_next - xlen
+        self._j_total += out_len
+        self._consumed_total += xlen
+        acc_next = self._acc_base + self._j_total * self.delta
+        self.input_deficit = (self._deficit_base - self._consumed_total
+                              + int(math.floor(acc_next / self.nphi)))
         self.phi_accumulator = float(np.mod(acc_next, self.nphi))
 
     def output_length(self, xlen):
@@ -732,6 +751,7 @@ class FIRFilter:
             frac, whole = math.modf(phi)
             k.input_deficit += int(round(whole))
             k.phi_accumulator = frac * k.nphi
+            k._anchor()
         return self
 
     def output_length(self, xlen):
@@ -940,10 +960,17 @@ class FIRFilter:
                             if self.history_len else x)
                 return xcat
             # cache the (host-exact) per-output index arrays on device:
-            # streaming with a fixed chunk size re-plans identically,
-            # and the upload (not the compute) dominates over a
-            # tunneled TPU connection
-            key = (xlen, k.input_deficit, k.phi_accumulator)
+            # the repeated reset+filt pattern (resample(), benches)
+            # re-plans identically, and the upload (not the compute)
+            # dominates over a tunneled TPU connection. The key
+            # includes the stream-global anchor counters: (deficit,
+            # phi_accumulator) alone is NOT a complete state under the
+            # bit-exact global-index plan — a chunk size that lands
+            # exactly on a phase cycle (e.g. 69979 = 7*9997 outputs at
+            # rate 0.9997) reproduces (1, 0.0) mid-stream and would
+            # replay chunk 1's plan
+            key = (xlen, k.input_deficit, k.phi_accumulator,
+                   k._j_total, k._consumed_total)
             cache = getattr(k, "_plan_cache", None)
             if cache is None or cache[0] != key:
                 head, alpha, out_len = k.plan(xlen)

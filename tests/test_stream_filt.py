@@ -136,8 +136,32 @@ class TestKernelsVsNaive:
         sf = FIRFilter(h, rate)
         parts = [np.asarray(sf.filt(c)) for c in np.split(x, [100, 137, 400])]
         got = np.concatenate(parts)
-        n = min(len(got), len(whole))
-        np.testing.assert_allclose(got[:n], whole[:n], atol=1e-9)
+        assert len(got) == len(whole)
+        np.testing.assert_allclose(got, whole, atol=1e-9)
+
+    def test_arbitrary_chunked_bitexact_index_plan(self):
+        """Round-5 regression: the arb-rate plan derives every output's
+        accumulator at its STREAM-GLOBAL index (FIRArbitrary._anchor),
+        so chunked == one-shot BIT-exactly — including (a) chunk splits
+        landing near phase wraps (the re-based accumulator used to flip
+        3 wrap outputs per 200k to the equivalent-but-different
+        (x+1, phi=0) representation and drift the output count by ±1),
+        and (b) chunk sizes that land exactly on a phase cycle (69979 =
+        7*9997 outputs at rate 0.9997 reproduces the FRESH (deficit=1,
+        acc=0.0) state mid-stream — the plan cache key must include the
+        global counters or chunk 2 replays chunk 1's plan)."""
+        h = np.asarray(
+            __import__("dsptpu").resample_filter(0.9997)).astype(
+                np.float32)
+        x = rng.standard_normal(200000).astype(np.float32)
+        one = np.asarray(FIRFilter(h, 0.9997).filt(x))
+        for splits in ([70000, 140000], [33333, 99999, 170001]):
+            f = FIRFilter(h, 0.9997)
+            got = np.concatenate(
+                [np.asarray(f.filt(c)) for c in np.split(x, splits)])
+            assert len(got) == len(one), (splits, len(got), len(one))
+            assert np.array_equal(got, one), (
+                splits, np.abs(got - one).max())
 
 
 class TestLengthAlgebra:
