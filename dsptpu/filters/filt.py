@@ -654,12 +654,16 @@ def filtfilt(f, a=None, x=None):
     # filt.jl:261-360 semantics.
     if (len(b) + len(a) <= 66
             and not (np.iscomplexobj(b) or np.iscomplexobj(a))):
+        # the except guards ONLY the host root-finding — a failure
+        # inside the SOS apply itself must propagate, not silently
+        # reroute to the catastrophically conditioned TF path
         try:
             sos_f = as_sos(PolynomialRatio(b, a))
+        except Exception:
+            sos_f = None              # root-finding failed: TF path
+        if sos_f is not None:
             pad = 3 * (max(len(a), len(b)) - 1)
             return _filtfilt_sos(sos_f, x, pad=pad)
-        except Exception:
-            pass                      # root-finding failed: TF path
     return _iir_filtfilt(b, a, jnp.asarray(x))
 
 

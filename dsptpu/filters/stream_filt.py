@@ -731,6 +731,11 @@ class FIRFilter:
     def reset(self):
         self.history = None
         self.kernel.reset()
+        # a restarted stream gets its streaming-kernel budget back
+        # (the <= 4 distinct-plan guard is per active stream, not per
+        # filter-object lifetime)
+        if hasattr(self.kernel, "_pfb2_states"):
+            self.kernel._pfb2_states.clear()
         return self
 
     def setphase(self, phi):
@@ -795,6 +800,12 @@ class FIRFilter:
         fresh = (self.history_len == 0
                  or (getattr(self, "_zero_hist", None) is not None
                      and self.history is self._zero_hist[1]))
+        # the kernel views its input as (R, 128) rows and needs >= 8
+        # sublane-aligned rows; a shorter chunk would fail the
+        # x2[:R8*8].reshape at trace time, poison the gate, and burn
+        # a _pfb2_states slot on a doomed state
+        if (0 if fresh else self.history_len) + xlen < 8 * 128:
+            return None
         if not fresh:
             # streaming: each distinct (phi0, deficit) entry state
             # needs its own multi-MB host tap table (same property as
@@ -993,8 +1004,12 @@ class FIRFilter:
                         from ..ops import dspbase as _db
                         from ..kernels import arbd as _arbd
                         use_k, interp_k = _db._pallas_os_state()
-                        if use_k and _arbd.arbd_supported(
-                                k.nphi, k.taps_per_phi, jnp.float32):
+                        if (use_k
+                                and not getattr(k, "_arbd_disabled",
+                                                False)
+                                and _arbd.arbd_supported(
+                                    k.nphi, k.taps_per_phi,
+                                    jnp.float32)):
                             ap = _arbd.arbd_plan(
                                 x_idx, phi_idx, alpha, out_len, k.nphi,
                                 k.taps_per_phi,
@@ -1041,16 +1056,35 @@ class FIRFilter:
                                            jax.device_put(TB))
                 hist0 = (self.history if self.history_len
                          else jnp.zeros((0,), x.dtype))
-                y = _arbd.arbd_resample_pallas(
-                    hist0, x, adev, tabs, k.nphi,
-                    k.taps_per_phi, out_len,
-                    h0=float(np.asarray(k.pfb_t)[0, -1]),
-                    hL=float(self.h[k.hlen - 1]),
-                    pstar=(k.hlen - 1) % k.nphi,
-                    tstar=(k.taps_per_phi - 1
-                           - (k.hlen - 1 - (k.hlen - 1) % k.nphi)
-                           // k.nphi),
-                    interpret=interp_k)
+                try:
+                    y = _arbd.arbd_resample_pallas(
+                        hist0, x, adev, tabs, k.nphi,
+                        k.taps_per_phi, out_len,
+                        h0=float(np.asarray(k.pfb_t)[0, -1]),
+                        hL=float(self.h[k.hlen - 1]),
+                        pstar=(k.hlen - 1) % k.nphi,
+                        tstar=(k.taps_per_phi - 1
+                               - (k.hlen - 1 - (k.hlen - 1) % k.nphi)
+                               // k.nphi),
+                        interpret=interp_k)
+                except Exception as e:
+                    # Mosaic geometry reject at compile time (e.g. a
+                    # VMEM budget the host gate mispredicted): disable
+                    # for this kernel instance, serve this chunk via
+                    # the all-phase path, and let the next call replan
+                    # onto the XLA drift path (same pfb2-dispatch
+                    # degradation contract)
+                    import warnings
+                    warnings.warn(
+                        f"arbd kernel rejected for nphi={k.nphi} "
+                        f"taps={k.taps_per_phi}: {type(e).__name__}: "
+                        f"{e} — falling back to the XLA arb paths for "
+                        "this kernel instance", RuntimeWarning)
+                    k._arbd_disabled = True
+                    k._plan_cache = None
+                    y = _pfb_dot_arb(_xcat(), k.pfb_t, k.dpfb_t,
+                                     dev[0], dev[1], dev[2],
+                                     k.taps_per_phi)
             elif out_len and drift is not None:
                 (Gp, m0, dvb, phiq, alphq, phiqb, alphqb, isb,
                  SEG, K, niter, hd) = drift

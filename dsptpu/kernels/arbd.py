@@ -67,9 +67,14 @@ _XP_CAP = 320          # position rows per step cap (NW <= 40960)
 
 
 def arbd_supported(nphi, taps, dtype):
+    """nphi <= 32: the resident (128, 128*nphi) tap tables plus the
+    (XP, 128*nphi) Zall slab scale linearly with nphi (~11 MB total at
+    nphi=32, XP<=320) — nphi=64 would need ~21.5 MB against the 16 MB
+    scoped-VMEM limit and fail to COMPILE, which interpret-mode CPU
+    tests cannot catch."""
     return (pallas_available
             and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
-            and nphi % 4 == 0 and nphi >= 4
+            and nphi % 4 == 0 and 4 <= nphi <= 32
             and 2 <= taps <= 128)
 
 
@@ -105,7 +110,10 @@ def arbd_plan(x_idx, phi_idx, alpha, out_len, nphi, winlen, xlen):
     xlen = len(xcat) (history + chunk)."""
     if out_len < SEG:
         return None
+    assert nphi % 4 == 0 and 2 <= winlen <= 128   # arbd_supported gate
     u = np.asarray(x_idx, np.int64) - 1
+    if np.any(np.asarray(x_idx)[:out_len] > xlen):
+        return None                       # window past the signal end
     if np.any(u[1:] <= u[:-1] - 1) or np.any(u[1:] == u[:-1]):
         return None                       # dups / non-monotone: XLA path
     niter = -(-out_len // SEG)

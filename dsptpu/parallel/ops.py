@@ -793,6 +793,8 @@ def shard_mt_cross_power_spectra(signal, mesh, config=None,
         raise ValueError("only real signals supported (onesided)")
     n_channels, n_samples = signal.shape
     if isinstance(config, MTCrossSpectraConfig):
+        if n_channels != config.n_channels:
+            raise ValueError("channel count does not match config")
         demean = config.demean
         freq_range = config.freq_range
         config = config.mt_config

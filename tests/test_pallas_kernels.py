@@ -427,6 +427,30 @@ class TestPfb2Kernel:
         # calls: one-shot (fresh), chunk 1 (fresh), chunks 2-3 (history)
         assert calls == [False, False, True, True], calls
 
+    def test_dispatch_small_chunks_fall_back_cleanly(self, monkeypatch):
+        # sub-tile chunks (< 8 rows of 128) must skip the kernel
+        # BEFORE tracing (round-5 review: the reshape TypeError used to
+        # be misreported as a Mosaic reject and poison the gate) — no
+        # RuntimeWarning, stream still exact
+        import warnings
+        from fractions import Fraction
+        import dsptpu.filters.stream_filt as sfm
+        import dsptpu.ops.dspbase as dspbase
+        from dsptpu.filters import resample_filter
+        monkeypatch.setattr(dspbase, "_PALLAS_OS", True)
+        ratio = Fraction(3, 2)
+        h = np.asarray(resample_filter(ratio)).astype(np.float32)
+        rng2 = np.random.default_rng(5)
+        x = rng2.standard_normal(8000).astype(np.float32)
+        whole = np.asarray(sfm.FIRFilter(h, ratio).filt(jnp.asarray(x)))
+        f = sfm.FIRFilter(h, ratio)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            parts = [np.asarray(f.filt(jnp.asarray(c)))
+                     for c in np.split(x, [2000, 2500, 3000, 7000])]
+        np.testing.assert_allclose(np.concatenate(parts), whole,
+                                   atol=3e-5)
+
 
 def _spy_ff_v2(monkeypatch, fmod):
     """Wrap _filtfilt_pallas_v2 with a call counter so a test that
