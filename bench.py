@@ -254,6 +254,7 @@ def main():
     # their end-to-end GS/s measures the tunnel's per-call cost as much
     # as the device (round-5 item-3 reconciliation: fir kernel-only
     # 74-76 GS/s device-side vs 36-60 GS/s config across sessions).
+    _guard = _timeit
     try:
         _triv = jax.jit(lambda a2: a2 * 1.000001)
         _xt = jnp.ones(128, dtype)
@@ -262,6 +263,20 @@ def main():
             _timeit(_triv, _xt, k=256) * 1e3, 4)
         _log(f"dispatch floor (trivial jit): "
              f"{extra['dispatch_floor_ms']} ms/call")
+
+        def _guard(fn, *args, **kw):
+            """Tunnel degradation comes in multi-minute waves (floor
+            measured 0.11-0.59 ms/call across same-day sessions,
+            docs/DESIGN.md round-5 addendum): after each config, probe
+            the floor; if the window was degraded, wait it out once
+            and keep the better (min) reading of the same quantity."""
+            t = _timeit(fn, *args, **kw)
+            if on_tpu and _timeit(_triv, _xt, k=256) > 2.5e-4:
+                _log("  (degraded tunnel window — retrying config "
+                     "after 30 s)")
+                time.sleep(30)
+                t = min(t, _timeit(fn, *args, **kw))
+            return t
     except Exception:
         pass
 
@@ -273,7 +288,7 @@ def main():
              + 0.1 * rng.standard_normal(n)).astype(dtype)
         xj, hj = jnp.asarray(x), jnp.asarray(h)
         fir = jax.jit(lambda b, s: dsptpu.filt(b, s))
-        t_dev = _timeit(fir, hj, xj, k=256, reps=9)  # sub-0.2ms/call: long chain
+        t_dev = _guard(fir, hj, xj, k=256, reps=9)  # sub-0.2ms/call: long chain
         t_cpu = _cpu_time(lambda: sp.lfilter(h, [1.0], x[: n // 8])) * 8
         record("fir_127tap", n, t_dev, t_cpu, min_bytes=2 * 4 * n,
                flops=2.0 * n * 256,  # row-shift kernel: M+1=2 lane-mixing
@@ -296,7 +311,7 @@ def main():
         x2 = rng.standard_normal((n2, nch)).astype(dtype)
         x2j, h2j = jnp.asarray(x2), jnp.asarray(h2)
         osf = jax.jit(lambda b, s: dsptpu.fftfilt(b, s))
-        t_dev = _timeit(osf, h2j, x2j, k=4)
+        t_dev = _guard(osf, h2j, x2j, k=4)
         t_cpu = _cpu_time(lambda: sp.oaconvolve(x2[: n2 // 16], h2[:, None],
                                                 axes=0)) * 16
         # fused four-step kernel FLOPs model (kernels/osconv.py geometry):
@@ -345,8 +360,8 @@ def main():
             dsptpu.welch_pgram(s, 1024, 512, window=win)))
         spec_j = jax.jit(lambda s: dsptpu.power(
             dsptpu.spectrogram(s, 1024, 512, window=win)))
-        t_w = _timeit(welch_j, x3j, k=16)
-        t_s = _timeit(spec_j, x3j, k=8)
+        t_w = _guard(welch_j, x3j, k=16)
+        t_s = _guard(spec_j, x3j, k=8)
         t_cpu_w = _cpu_time(lambda: sp.welch(
             x3[: n3 // 8], axis=0, nperseg=1024, noverlap=512, window=win)) * 8
         t_cpu_s = _cpu_time(lambda: sp.spectrogram(
@@ -458,7 +473,7 @@ def main():
             sf.reset()
             return sf.filt(xc)
 
-        t_dev = _timeit(poly_dev, x4j, k=64, reps=9)
+        t_dev = _guard(poly_dev, x4j, k=64, reps=9)
         t_cpu = _cpu_time(lambda: sp.resample_poly(x4[: n4 // 8], 147, 160)) * 8
         # kernel-utilization FLOPs model matches whichever path runs: the
         # pfb2 Pallas kernel does D (S,128)@(128,128) lane-mixing matmuls
@@ -511,7 +526,7 @@ def main():
             sfb.reset()
             return sfb.filt(xc)
 
-        t_dev_b = _timeit(poly_dev_b, x4j, k=64, reps=9)
+        t_dev_b = _guard(poly_dev_b, x4j, k=64, reps=9)
         extra["resample_3_2_msps"] = round(n4 / t_dev_b / 1e6, 1)
         _log(f"  resample 3//2: {n4/t_dev_b/1e6:.1f} MS/s")
         # arbitrary-rate (FIRArbitrary dual-PFB, reference
@@ -527,7 +542,7 @@ def main():
             sfc.reset()
             return sfc.filt(xc)
 
-        t_dev_c = _timeit(poly_dev_c, x4cj, k=8)
+        t_dev_c = _guard(poly_dev_c, x4cj, k=8)
         extra["resample_arb_0p9997_msps"] = round(n4c / t_dev_c / 1e6, 1)
         _log(f"  resample arbitrary 0.9997: {n4c/t_dev_c/1e6:.1f} MS/s")
         # witness: dual-PFB interpolated dots in f64 from the kernel's
@@ -568,14 +583,14 @@ def main():
         sos_sp[0, :3] *= f5.g
         x5j = jnp.asarray(x5)
         ff = jax.jit(lambda s: dsptpu.filtfilt(f5, s))
-        t_ff = _timeit(ff, x5j, k=64, reps=9)
+        t_ff = _guard(ff, x5j, k=64, reps=9)
         # speech-frame LPC: 25 ms frames at 16 kHz (400 samples), order 16
         flen = 400
         nfr5 = n5 // flen
         frames5 = x5[: nfr5 * flen].reshape(nfr5, flen).T.copy()  # (flen, nfr)
         frames5j = jnp.asarray(frames5)
         lpc_j = jax.jit(lambda fr: dsptpu.lpc(fr, 16, method="levinson"))
-        t_lpc = _timeit(lpc_j, frames5j, k=64, reps=9)
+        t_lpc = _guard(lpc_j, frames5j, k=64, reps=9)
         t_cpu_ff = _cpu_time(lambda: sp.sosfiltfilt(sos_sp, x5[: n5 // 8])) * 8
 
         def cpu_lpc():

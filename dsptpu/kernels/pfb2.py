@@ -48,9 +48,13 @@ substitute the tile-crossing super from two 8-row side views via a
 where on the super iota (Mosaic lowers roll/where but not the
 scatter that .at[].set would emit).
 
-v1 scope: stateless zero-history streams (fresh/reset FIRFilter — the
-`resample()` path), real f32, 1-D. The streaming-history case falls
-back to the XLA block matmul.
+Scope: real f32, 1-D. Fresh/reset streams (the `resample()` path)
+pass a pre-shaped (R, 128) signal (eager zero-copy reshape);
+mid-stream chunks (round 5) pass 1-D x + the carried history, which
+concatenate in-jit, with the class-window geometry shifted by
+history_len — exactly the XLA block matmul's s0 (reference chunked
+state semantics, stream_filt.jl:443-467). Channels and sub-tile
+chunks (< 8 rows) fall back to the XLA block matmul.
 """
 
 import functools
