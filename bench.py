@@ -265,18 +265,24 @@ def main():
              f"{extra['dispatch_floor_ms']} ms/call")
 
         def _guard(fn, *args, **kw):
-            """Tunnel degradation comes in multi-minute waves (floor
-            measured 0.11-0.59 ms/call across same-day sessions,
-            docs/DESIGN.md round-5 addendum): after each config, probe
-            the floor; if the window was degraded, wait it out once
-            and keep the better (min) reading of the same quantity."""
+            """Tunnel degradation comes in waves (floor measured
+            0.11-0.87 ms/call across one day, docs/DESIGN.md round-5
+            addendum): after each config, probe the floor; while the
+            window is degraded (and a shared wait budget remains),
+            wait it out and keep the better (min) reading of the same
+            quantity."""
             t = _timeit(fn, *args, **kw)
-            if on_tpu and _timeit(_triv, _xt, k=256) > 2.5e-4:
-                _log("  (degraded tunnel window — retrying config "
-                     "after 30 s)")
-                time.sleep(30)
+            tries = 0
+            while (on_tpu and tries < 3 and _guard.budget > 0
+                   and _timeit(_triv, _xt, k=256) > 2.5e-4):
+                _log("  (degraded tunnel window — waiting 45 s and "
+                     "remeasuring)")
+                time.sleep(45)
+                _guard.budget -= 45
                 t = min(t, _timeit(fn, *args, **kw))
+                tries += 1
             return t
+        _guard.budget = 270      # total extra wait across the run, s
     except Exception:
         pass
 
