@@ -274,7 +274,7 @@ def main():
             t = _timeit(fn, *args, **kw)
             tries = 0
             while (on_tpu and tries < 3 and _guard.budget > 0
-                   and _timeit(_triv, _xt, k=256) > 2.5e-4):
+                   and _timeit(_triv, _xt, k=256) > 2.0e-4):
                 _log("  (degraded tunnel window — waiting 45 s and "
                      "remeasuring)")
                 time.sleep(45)
@@ -282,7 +282,7 @@ def main():
                 t = min(t, _timeit(fn, *args, **kw))
                 tries += 1
             return t
-        _guard.budget = 270      # total extra wait across the run, s
+        _guard.budget = 360      # total extra wait across the run, s
     except Exception:
         pass
 
