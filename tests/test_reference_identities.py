@@ -145,3 +145,39 @@ class TestCoherenceProperties:
             np.random.default_rng(5).standard_normal(self.n))
         assert more_noisy < less_noisy
         assert different < less_noisy
+
+
+class TestEnergyIdentities:
+    """Normalization invariants that pin the fft2pow bookkeeping
+    (reference periodograms.jl:142-172) independently of scipy."""
+
+    def test_periodogram_parseval(self):
+        # sum(PSD) * fs / nfft == mean power (two-sided, no window)
+        rng2 = np.random.default_rng(11)
+        x = rng2.standard_normal(4096)
+        p = dsptpu.periodogram(x, onesided=False, fs=2.5)
+        total = float(np.sum(np.asarray(dsptpu.power(p)))) * 2.5 / 4096
+        np.testing.assert_allclose(total, np.mean(x ** 2), rtol=1e-9)
+
+    def test_welch_parseval_rect_nonoverlap(self):
+        # rect window, non-overlapping segments: welch == mean of
+        # per-segment periodograms, so Parseval holds segment-wise
+        rng2 = np.random.default_rng(12)
+        x = rng2.standard_normal(8192)
+        p = dsptpu.welch_pgram(x, 1024, 0, onesided=False)
+        total = float(np.sum(np.asarray(dsptpu.power(p)))) / 1024
+        np.testing.assert_allclose(total, np.mean(x ** 2), rtol=1e-9)
+
+    def test_resample_preserves_tone(self):
+        # a clean tone lands on the right frequency after 147//160
+        from fractions import Fraction
+        fs_in, f0 = 48000.0, 1000.0
+        n = 48000
+        t = np.arange(n) / fs_in
+        x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        y = np.asarray(dsptpu.resample(x, Fraction(147, 160)))
+        fs_out = fs_in * 147 / 160
+        seg = y[2000:2000 + 16384]
+        F = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        peak = np.argmax(F) * fs_out / len(seg)
+        assert abs(peak - f0) < fs_out / len(seg) * 1.5, peak
